@@ -1,0 +1,118 @@
+"""Pipeline configuration (SURVEY.md §2.10, §3.1 stage 1).
+
+A ``PipelineSpec`` fully determines a flagship run: parse bounds, enrich dim,
+router rules, sinks, aggregate bins, salting, and physical knobs. Router rules
+are data-driven, ordered, first-match-wins, with a mandatory default sink —
+this recasts the reference's per-site/per-kind output selection (BASELINE.json
+north_star: "a rule-driven router fans rows out to per-sink Parquet writers
+keyed on source/parse-class").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from . import schema as S
+
+_VALID_OPS = {"eq", "ne", "in", "not_in", "regex", "lt", "le", "gt", "ge"}
+
+
+@dataclass(frozen=True)
+class Predicate:
+    """One condition on one column. All predicates in a rule must hold (AND)."""
+
+    column: str
+    op: str
+    value: Any
+
+    def __post_init__(self) -> None:
+        if self.op not in _VALID_OPS:
+            raise ValueError(f"unknown predicate op {self.op!r}")
+
+
+@dataclass(frozen=True)
+class RouterRule:
+    """first-match-wins rule: if all predicates hold, the row goes to ``sink``."""
+
+    sink: str
+    when: tuple[Predicate, ...]
+
+
+@dataclass
+class RouterConfig:
+    rules: tuple[RouterRule, ...]
+    default_sink: str = "default"
+
+    def validate(self) -> None:
+        if not self.default_sink:
+            raise ValueError("router: default sink is mandatory")
+        for r in self.rules:
+            if not r.sink:
+                raise ValueError("router: rule with empty sink")
+
+    @property
+    def sinks(self) -> tuple[str, ...]:
+        names: list[str] = []
+        for r in self.rules:
+            if r.sink not in names:
+                names.append(r.sink)
+        if self.default_sink not in names:
+            names.append(self.default_sink)
+        return tuple(names)
+
+
+def default_router() -> RouterConfig:
+    """Flagship rule set: quarantine failures, then key on source/priority.
+
+    Mirrors the reference's routing of parse failures away from the index and
+    per-site output selection (SURVEY.md §1.1 index records; BASELINE.json).
+    """
+    return RouterConfig(
+        rules=(
+            RouterRule(
+                sink="quarantine",
+                when=(Predicate("parse_class", "ne", S.CLASS_OK),),
+            ),
+            RouterRule(
+                sink="hot",
+                when=(Predicate("meta_priority", "ge", 3),),
+            ),
+            RouterRule(
+                sink="sectioned",
+                when=(Predicate("n_sections", "gt", 1),),
+            ),
+            RouterRule(
+                sink="archive_a",
+                when=(Predicate("source", "regex", r"^src\d*[02468]$"),),
+            ),
+        ),
+        default_sink="archive_b",
+    )
+
+
+@dataclass
+class PipelineSpec:
+    """Everything a flagship run needs (SURVEY.md §3.1)."""
+
+    vocab_size: int = S.DEFAULT_VOCAB_SIZE
+    max_tokens: int = S.MAX_TOKENS
+    router: RouterConfig = field(default_factory=default_router)
+    hist_bins: int = 64          # A3: fixed-width bins over [0, max_tokens]
+    num_salts: int = 16          # §4.3 salting factor for skewed groupbys
+    batch_size: int = 8192       # per-stage map_batches batch size
+    enrich_concurrency: tuple[int, int] = (2, 8)  # ST1 actor pool (min, max)
+    target_partition_rows: int = 250_000  # runner partition granularity
+
+    def __post_init__(self) -> None:
+        self.router.validate()
+
+    @property
+    def hist_bin_width(self) -> int:
+        return max(1, self.max_tokens // self.hist_bins)
+
+
+def bridge_spec() -> PipelineSpec:
+    """Spec for corpora produced by the documents→sequences bridge
+    (vocab = 31 words + specials; FIXTURES.md §1)."""
+    return PipelineSpec(vocab_size=S.BRIDGE_VOCAB_SIZE)

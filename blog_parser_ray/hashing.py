@@ -1,0 +1,48 @@
+"""Process-stable vectorized hashing (SURVEY.md §2.8 "hash" family).
+
+Python's builtin ``hash()`` is salted per process (PYTHONHASHSEED) and must never
+be used for partitioning/salting. We use pandas' SipHash-based ``hash_array``
+(fixed default key, deterministic across processes and platforms, C-vectorized)
+for strings, and a Fibonacci-style mix for integers.
+
+Used by: salting (SURVEY.md §4.3), dedup partitioning (U4), dim synthesis,
+bucketed joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def stable_hash_strings(values) -> np.ndarray:
+    """uint64 stable hash of a string sequence (pa.Array/ChunkedArray/np/list)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        arr = np.asarray(values.to_pylist(), dtype=object)
+    else:
+        arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=True)
+
+
+def stable_hash_ints(values) -> np.ndarray:
+    """uint64 stable hash of an int64 array (splitmix64-style mix)."""
+    x = np.asarray(values, dtype=np.uint64).copy()
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def stable_hash_one(value: str) -> int:
+    """Scalar convenience (same function as stable_hash_strings)."""
+    return int(stable_hash_strings([value])[0])
+
+
+def salt_column(keys, num_salts: int) -> np.ndarray:
+    """int32 salt in [0, num_salts) from a string key column (SURVEY.md §4.3)."""
+    return (stable_hash_strings(keys) % np.uint64(num_salts)).astype(np.int32)
