@@ -101,7 +101,9 @@ class PipelineSpec:
     hist_bins: int = 64          # A3: fixed-width bins over [0, max_tokens]
     num_salts: int = 16          # §4.3 salting factor for skewed groupbys
     batch_size: int = 8192       # per-stage map_batches batch size
-    enrich_concurrency: tuple[int, int] = (2, 8)  # ST1 actor pool (min, max)
+    # ST1/ST2 actor pool (min, max): min=1 so two pools + the stateless parse
+    # tasks can't starve each other of CPUs on small hosts; Ray autoscales up.
+    enrich_concurrency: tuple[int, int] = (1, 8)
     target_partition_rows: int = 250_000  # runner partition granularity
 
     def __post_init__(self) -> None:

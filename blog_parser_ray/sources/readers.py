@@ -1,0 +1,108 @@
+"""Readers (S1, S2, S6) and the deterministic partition planner (SURVEY.md §4.4).
+
+``plan_partitions`` maps an input directory to a stable, cluster-size-
+independent list of (file, row-group range) partitions: ``partition_id`` =
+index into the sorted plan. Resume filters this plan against the manifest, so
+a killed run re-reads ONLY uncommitted fragments — never the whole input
+(SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from .. import schema as S
+
+
+def read_sequences(path: str, **kwargs) -> rd.Dataset:
+    """S1: read the flagship Parquet corpus with a schema assertion."""
+    ds = rd.read_parquet(path, columns=list(S.SEQUENCES_SCHEMA.names), **kwargs)
+    assert_schema_of(path)
+    return ds
+
+
+def assert_schema_of(path: str) -> None:
+    f = _first_parquet_file(path)
+    S.assert_sequences_schema(pq.ParquetFile(f).schema_arrow)
+
+
+def read_dim(path: str) -> pa.Table:
+    """S2: small lookup table, read driver-side (broadcast via ray.put)."""
+    return pq.read_table(path)
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
+               **kwargs) -> rd.Dataset:
+    """S6: one of the ten driver testdata tables, with column pruning."""
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Partition planner
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    partition_id: int
+    path: str
+    rg_start: int    # first row group (inclusive)
+    rg_end: int      # last row group (exclusive)
+    num_rows: int
+
+    @property
+    def fragment(self) -> str:
+        return f"{os.path.basename(self.path)}[{self.rg_start}:{self.rg_end}]"
+
+
+def _parquet_files(input_dir: str) -> list[str]:
+    if os.path.isfile(input_dir):
+        return [input_dir]
+    out: list[str] = []
+    for root, _dirs, files in os.walk(input_dir):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("_"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _first_parquet_file(path: str) -> str:
+    files = _parquet_files(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    return files[0]
+
+
+def plan_partitions(input_dir: str,
+                    target_rows: int = 250_000) -> list[PartitionSpec]:
+    """Deterministic plan: sorted files × row-group ranges, each partition
+    holding ~``target_rows`` rows. Stable across runs and cluster sizes —
+    the resume key (SURVEY.md §4.4)."""
+    parts: list[PartitionSpec] = []
+    pid = 0
+    for path in _parquet_files(input_dir):
+        md = pq.ParquetFile(path).metadata
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        start, acc = 0, 0
+        for i, nrows in enumerate(rg_rows):
+            acc += nrows
+            last = i == len(rg_rows) - 1
+            if acc >= target_rows or (last and acc > 0):
+                parts.append(PartitionSpec(pid, path, start, i + 1, acc))
+                pid += 1
+                start, acc = i + 1, 0
+    return parts
+
+
+def read_partition(spec: PartitionSpec,
+                   columns: list[str] | None = None) -> pa.Table:
+    """Read exactly one planned fragment (used inside runner tasks)."""
+    f = pq.ParquetFile(spec.path)
+    return f.read_row_groups(list(range(spec.rg_start, spec.rg_end)),
+                             columns=columns, use_threads=False)

@@ -1,0 +1,169 @@
+"""Aggregates A1–A7 and sort/top-k O1–O3 (SURVEY.md §2.5, §2.6, §4.3).
+
+Recasts the reference's index summary over all documents (per-site totals)
+as distributed groupby/aggregate/sort. The core scale tool is the
+partial+final pattern (A7): every per-key aggregate first combines INSIDE each
+Arrow block with ``pa.Table.group_by`` (shrinking data by orders of magnitude
+before any exchange), then runs a small final ``Dataset.groupby`` — so the
+all-to-all shuffle moves partial rows, not data rows, and source-key skew
+(Zipf at scale, SURVEY.md §4.3) cannot concentrate on one reducer.
+
+Salting (``salted_group_count``) is provided for flows where partials cannot
+shrink (e.g. per-group map_groups over hot keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .. import schema as S
+from ..hashing import salt_column
+
+# ---------------------------------------------------------------------------
+# A7: partial+final grouped aggregates
+# ---------------------------------------------------------------------------
+
+
+def _partial_count(keys: list[str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["partial_rows"])
+    return fn
+
+
+def group_count(ds: rd.Dataset, keys: list[str],
+                alias: str = "cnt") -> rd.Dataset:
+    """groupby(keys).count() via per-block partials then a tiny final groupby.
+
+    The final shuffle sees at most (distinct keys × blocks) partial rows.
+    """
+    partials = ds.map_batches(_partial_count(keys), batch_format="pyarrow")
+    out = partials.groupby(keys).aggregate(Sum("partial_rows", alias_name=alias))
+    return out
+
+
+def group_sum(ds: rd.Dataset, keys: list[str], value_col: str,
+              alias: str | None = None) -> rd.Dataset:
+    """groupby(keys).sum(value_col) with per-block partial sums."""
+    alias = alias or f"sum_{value_col}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(keys + [value_col]).group_by(keys)
+             .aggregate([(value_col, "sum")]))
+        return g.rename_columns(keys + ["partial_sum"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(keys).aggregate(Sum("partial_sum", alias_name=alias))
+
+
+def salted_group_count(ds: rd.Dataset, keys: list[str], salt_key: str,
+                       num_salts: int = 16, alias: str = "cnt") -> rd.Dataset:
+    """Two-stage salted count (SURVEY.md §4.3): stage 1 groups on
+    (keys, salt) spreading a hot key over ``num_salts`` reducers, stage 2
+    merges salt partials. Use when per-block partials can't shrink."""
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "salt", pa.array(salt_column(batch[salt_key], num_salts)))
+
+    stage1 = (ds.map_batches(add_salt, batch_format="pyarrow")
+              .groupby(keys + ["salt"])
+              .aggregate(Count(alias_name="partial")))
+    return stage1.groupby(keys).aggregate(Sum("partial", alias_name=alias))
+
+
+# ---------------------------------------------------------------------------
+# A2 / A3: flagship per-sink aggregates
+# ---------------------------------------------------------------------------
+
+
+def per_sink_counts(routed: rd.Dataset) -> rd.Dataset:
+    """A2 — the flagship correctness target: counts by (sink, source,
+    parse_class), skew-safe by construction (partials shrink ~10⁴×)."""
+    return group_count(routed, ["sink", "source", "parse_class"], alias="cnt")
+
+
+def ntok_histogram(routed: rd.Dataset, *, bin_width: int = 64,
+                   max_tokens: int = S.MAX_TOKENS,
+                   per_sink: bool = True) -> rd.Dataset:
+    """A3 — fixed-width histogram of the REAL token count len(tokens).
+
+    Per block: bin = min(len, max_tokens) // bin_width, then an in-block
+    group count; final groupby sums partials. Output columns:
+    (sink?, bin:int32, cnt:int64).
+    """
+    keys = (["sink"] if per_sink else []) + ["bin"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        lengths = (tokens.offsets.to_numpy()[1:]
+                   - tokens.offsets.to_numpy()[:-1]).astype(np.int64)
+        bins = np.minimum(lengths, max_tokens) // bin_width
+        t = pa.table({
+            **({"sink": batch["sink"].combine_chunks()
+                if isinstance(batch["sink"], pa.ChunkedArray)
+                else batch["sink"]} if per_sink else {}),
+            "bin": pa.array(bins.astype(np.int32), type=pa.int32()),
+        })
+        g = t.group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["partial_rows"])
+
+    partials = routed.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(keys).aggregate(Sum("partial_rows", alias_name="cnt"))
+
+
+# ---------------------------------------------------------------------------
+# A1 / A4 / A6: global + distinct + grouped numeric
+# ---------------------------------------------------------------------------
+
+
+def global_aggregates(ds: rd.Dataset, value_col: str = "n_tok") -> dict:
+    """A1: count / sum / min / max / mean in one aggregate pass."""
+    res = ds.aggregate(
+        Count(alias_name="rows"),
+        Sum(value_col, alias_name="sum"),
+        Min(value_col, alias_name="min"),
+        Max(value_col, alias_name="max"),
+        Mean(value_col, alias_name="mean"),
+    )
+    return dict(res)
+
+
+def distinct_count(ds: rd.Dataset, col: str) -> int:
+    """A4: exact count-distinct via per-block unique partials then global
+    unique — the shuffle only ever sees per-block distinct values."""
+    def per_block_unique(batch: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(
+            batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray)
+            else batch[col])})
+    return (ds.map_batches(per_block_unique, batch_format="pyarrow")
+            .unique(col).__len__())
+
+
+# ---------------------------------------------------------------------------
+# O1–O3: sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+def sort_by(ds: rd.Dataset, keys: list[str],
+            descending: list[bool] | bool = False) -> rd.Dataset:
+    """O1 global sort (all-to-all range shuffle — use on small aggregates,
+    or accept the exchange on big data)."""
+    return ds.sort(keys, descending=descending)
+
+
+def top_k(ds: rd.Dataset, key: str, k: int, *,
+          tiebreak: str | None = None) -> rd.Dataset:
+    """O3 top-k. For small k the per-block heap would avoid a full sort;
+    Ray's sort+limit already prunes blocks via limit pushdown, and our inputs
+    to top_k are post-aggregation (small), so sort+limit is the right plan.
+    A deterministic ``tiebreak`` column makes results oracle-comparable."""
+    keys = [key] + ([tiebreak] if tiebreak else [])
+    desc = [True] + ([False] if tiebreak else [])
+    return ds.sort(keys, descending=desc).limit(k)

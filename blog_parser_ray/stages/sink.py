@@ -1,0 +1,81 @@
+"""ST3/S4: partition-local fan-out sink writer (SURVEY.md §2.1 S4, §4.3).
+
+Recasts the reference's per-site/per-section index file outputs. Each routed
+row lands in exactly one ``sinks/{sink}/part-{pid:06d}.parquet``. The writer is
+partition-local: a partition groups ITS OWN rows by sink and writes one file
+per (partition, sink) — there is NO shuffle on ``sink``, so router fan-out skew
+(one sink taking 30%+ of rows) costs nothing (SURVEY.md §4.3). Per-sink file
+count is O(partitions); compaction is a follow-up read if ever needed.
+
+Atomicity: write under ``_tmp/{pid}/`` then ``os.replace`` into place — a Ray
+task retry or a resumed run overwrites its own files and never touches other
+partitions' committed files (exactly-once effect without exactly-once
+execution; SURVEY.md §7.4 item 1).
+
+Fault injection for tests: set env ``BPR_FAIL_PARTITIONS="3,7"`` to crash the
+writer on those partition ids once per process (exercises retry/resume paths).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def write_partition_sinks(table: pa.Table, out_dir: str, partition_id: int,
+                          fragment: str, attempt: int = 0,
+                          inject_fail: frozenset | None = None) -> list[dict]:
+    """Write one routed partition's rows into per-sink files; return lineage
+    records (one per (partition, sink)) for the manifest."""
+    t0 = time.monotonic()
+    fail_env = os.environ.get("BPR_FAIL_PARTITIONS", "")
+    fail_ids = {int(x) for x in fail_env.split(",") if x} | set(inject_fail or ())
+    if partition_id in fail_ids:
+        raise RuntimeError(f"injected failure for partition {partition_id}")
+
+    tmp_dir = os.path.join(out_dir, "_tmp", f"{partition_id:06d}")
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    sink_col = table["sink"]
+    if isinstance(sink_col, pa.ChunkedArray):
+        sink_col = sink_col.combine_chunks()
+    sinks = pc.unique(sink_col).to_pylist()
+
+    lineage: list[dict] = []
+    staged: list[tuple[str, str]] = []
+    for sink in sorted(sinks):
+        sub = table.filter(pc.equal(sink_col, sink))
+        tmp_path = os.path.join(tmp_dir, f"{sink}.parquet")
+        pq.write_table(sub, tmp_path)
+        final_dir = os.path.join(out_dir, "sinks", sink)
+        os.makedirs(final_dir, exist_ok=True)
+        final_path = os.path.join(final_dir, f"part-{partition_id:06d}.parquet")
+        staged.append((tmp_path, final_path))
+        n_tok_sum = pc.sum(sub["n_tok"]).as_py() if sub.num_rows else 0
+        lineage.append({
+            "partition_id": partition_id,
+            "input_fragment": fragment,
+            "sink": sink,
+            "row_count": sub.num_rows,
+            "token_count": int(n_tok_sum or 0),
+            "bytes_written": os.path.getsize(tmp_path),
+            "attempt": attempt,
+            "wall_s": 0.0,
+        })
+
+    # stage fully, then publish: renames are the commit point
+    for tmp_path, final_path in staged:
+        os.replace(tmp_path, final_path)
+    try:
+        os.rmdir(tmp_dir)
+    except OSError:
+        pass
+
+    wall = time.monotonic() - t0
+    for rec in lineage:
+        rec["wall_s"] = round(wall, 6)
+    return lineage

@@ -1,0 +1,176 @@
+"""Layer-4: resumable runner — conservation, idempotent re-run, fault
+injection, and the SIGKILL kill-test (SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from blog_parser_ray import oracle, runner, synth
+from blog_parser_ray.config import PipelineSpec
+from blog_parser_ray.sources.readers import plan_partitions
+
+N_ROWS = 12000
+SEED = 17
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    t = synth.synth_table(np.arange(N_ROWS), seed=SEED)
+    pq.write_table(t.slice(0, 7000), str(d / "a.parquet"), row_group_size=1500)
+    pq.write_table(t.slice(7000), str(d / "b.parquet"), row_group_size=1500)
+    return str(d)
+
+
+def read_sinks(out_dir: str) -> pa.Table:
+    import pyarrow.dataset as pads
+    return pads.dataset(os.path.join(out_dir, "sinks")).to_table()
+
+
+def test_plan_is_deterministic(corpus):
+    p1 = plan_partitions(corpus, target_rows=3000)
+    p2 = plan_partitions(corpus, target_rows=3000)
+    assert p1 == p2
+    assert sum(p.num_rows for p in p1) == N_ROWS
+    assert [p.partition_id for p in p1] == list(range(len(p1)))
+
+
+def test_run_conserves_and_matches_oracle(corpus, tmp_path):
+    out = str(tmp_path / "out")
+    spec = PipelineSpec(target_partition_rows=3000)
+    summary = runner.run(corpus, out, spec)
+    assert summary["conserved"], summary
+    assert summary["sink_rows"] == N_ROWS
+
+    t = synth.synth_table(np.arange(N_ROWS), seed=SEED)
+    res = oracle.run_flagship(
+        t.to_pylist(), oracle.build_dim([f"src{i}" for i in range(1000)]), spec)
+    counts = pq.read_table(os.path.join(out, "_aggregates", "per_sink_counts"))
+    eng = {(r["sink"], r["source"], r["parse_class"]): r["cnt"]
+           for r in counts.to_pylist()}
+    assert eng == dict(res["per_sink_counts"])
+
+    # routed-row equality, order-insensitive (sorted by doc_id + sink)
+    routed = read_sinks(out).to_pylist()
+    routed.sort(key=lambda r: (r["doc_id"], r["sink"]))
+    expected = sorted(res["routed"], key=lambda r: (r["doc_id"], r["sink"]))
+    assert len(routed) == len(expected)
+    for e, o in zip(routed, expected):
+        assert e["doc_id"] == o["doc_id"] and e["sink"] == o["sink"]
+        assert e["tokens"] == o["tokens"]
+
+
+def test_fresh_run_refuses_existing_manifest(corpus, tmp_path):
+    out = str(tmp_path / "out")
+    spec = PipelineSpec(target_partition_rows=6000)
+    runner.run(corpus, out, spec)
+    with pytest.raises(RuntimeError, match="resume"):
+        runner.run(corpus, out, spec)
+
+
+def test_resume_skips_committed(corpus, tmp_path):
+    out = str(tmp_path / "out")
+    spec = PipelineSpec(target_partition_rows=3000)
+    s1 = runner.run(corpus, out, spec)
+    s2 = runner.run(corpus, out, spec, resume=True)
+    assert s2["partitions_run"] == 0
+    assert s2["partitions_skipped"] == s1["partitions_total"]
+    assert s2["conserved"]
+
+
+def test_injected_failure_then_resume(corpus, tmp_path):
+    """A partition whose writer crashes (after Ray's retries) is absent from
+    the manifest; resume completes exactly the missing work."""
+    out = str(tmp_path / "out")
+    spec = PipelineSpec(target_partition_rows=3000)
+    with pytest.raises(Exception):
+        runner.run(corpus, out, spec, inject_fail=frozenset({2}))
+    committed = {int(k) for k in
+                 json_lines(os.path.join(out, "_manifest", "manifest.jsonl"))}
+    assert 2 not in committed
+    s = runner.run(corpus, out, spec, resume=True)
+    assert s["conserved"]
+    assert s["sink_rows"] == N_ROWS
+
+
+def json_lines(path):
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line)["partition_id"] for line in f if line.strip()]
+
+
+KILL_SCRIPT = r"""
+import sys, ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from blog_parser_ray import runner
+from blog_parser_ray.config import PipelineSpec
+corpus, out = sys.argv[1], sys.argv[2]
+print("READY", flush=True)
+runner.run(corpus, out, PipelineSpec(target_partition_rows=1500))
+print("DONE", flush=True)
+"""
+
+
+def test_kill_and_resume(corpus, tmp_path):
+    """SIGKILL mid-run, then resume; final sinks equal an uninterrupted run's
+    (row-level, order-insensitive) with no duplicate partition ids."""
+    out = str(tmp_path / "out_killed")
+    ref_out = str(tmp_path / "out_ref")
+    spec = PipelineSpec(target_partition_rows=1500)
+    runner.run(corpus, ref_out, spec)
+
+    script = str(tmp_path / "kill_script.py")
+    with open(script, "w") as f:
+        f.write(KILL_SCRIPT)
+    env = dict(os.environ, RAY_ADDRESS="local")
+    proc = subprocess.Popen([sys.executable, script, corpus, out],
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                            text=True, cwd="/root/repo", env=env,
+                            start_new_session=True)
+    manifest_path = os.path.join(out, "_manifest", "manifest.jsonl")
+    deadline = time.time() + 120
+    killed = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we could kill — still a valid (weak) run
+        if os.path.exists(manifest_path) and len(json_lines(manifest_path)) >= 2:
+            # kill the whole session group: driver + its ray daemons
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.1)
+    proc.wait(timeout=60)
+
+    committed_mid = json_lines(manifest_path)
+    assert len(committed_mid) == len(set(committed_mid)), "duplicate partition ids"
+    if killed:
+        assert len(committed_mid) < len(plan_partitions(corpus, 1500))
+
+    s = runner.run(corpus, out, spec, resume=True)
+    assert s["conserved"]
+    final_ids = json_lines(manifest_path)
+    assert sorted(final_ids) == sorted(set(final_ids))
+
+    got = read_sinks(out).to_pylist()
+    want = read_sinks(ref_out).to_pylist()
+    key = lambda r: (r["doc_id"], r["sink"])
+    got.sort(key=key)
+    want.sort(key=key)
+    assert len(got) == len(want) == N_ROWS
+    for g, w in zip(got, want):
+        assert g["doc_id"] == w["doc_id"] and g["sink"] == w["sink"]
+        assert g["tokens"] == w["tokens"]
