@@ -1,0 +1,321 @@
+"""Deduplication family (task extension set): exact, MinHash+LSH, SimHash,
+n-gram Jaccard verify, embedding-cosine near-dup.
+
+Scale notes (the partitioning assumptions each op relies on):
+
+- ``exact_dedup``: two-phase winner selection — per-block (hash, min_key)
+  partials, then a tiny groupby over partials, then a BROADCAST winner-set
+  filter. Only (hash, key) pairs ever shuffle; full rows never do. At 100 TB
+  with too many winners to broadcast, swap the final filter for a
+  hash-partitioned semi-join on the content hash (same key both sides).
+- ``minhash_lsh`` / ``simhash``: signature computation is embarrassingly
+  parallel map_batches; candidate generation is a groupby on (band, band_hash)
+  — band hashes are uniform by construction, so no salting needed. Candidate
+  PAIR verification assumes the candidate set is orders of magnitude smaller
+  than the corpus (the point of LSH); verification joins signatures back by
+  doc_id via broadcast at test scale, hash-partitioned join at cluster scale.
+- ``embedding_near_dup``: brute-force is per-batch matmul against a broadcast
+  matrix (fine to ~10⁵ vectors); the scale path buckets by random-hyperplane
+  signatures first so only same-bucket pairs are scored.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from ..hashing import stable_hash_strings
+
+# ---------------------------------------------------------------------------
+# exact dedup (U4)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(ds: rd.Dataset, content_col: str = "text",
+                key_col: str = "doc_id") -> rd.Dataset:
+    """Keep the min-``key_col`` row per distinct ``content_col`` value.
+
+    Deterministic winner; matches SQL
+    ``WHERE key IN (SELECT min(key) FROM t GROUP BY content)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = stable_hash_strings(batch[content_col])
+        t = pa.table({"h": pa.array(h.astype(np.int64)), key_col: batch[key_col]})
+        g = t.group_by("h").aggregate([(key_col, "min")])
+        return g.rename_columns(["h", "winner"])
+
+    winners_ds = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("h").aggregate(Min("winner", alias_name="winner")))
+    winner_set = set(winners_ds.to_pandas()["winner"].tolist())
+    winner_ref = ray.put(winner_set)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ws = ray.get(winner_ref)
+        mask = pa.array([k in ws for k in batch[key_col].to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (near-dup candidates) and n-gram Jaccard (verify)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    words = text.split()
+    if len(words) < k:
+        return stable_hash_strings([" ".join(words)]) if words else \
+            np.array([], dtype=np.uint64)
+    shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(stable_hash_strings(shingles))
+
+
+def _perm_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor.
+
+    Emits (doc_id, band:int32, band_hash:int64) rows — ``bands`` rows per doc
+    — ready for the LSH bucket groupby."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3,
+                 text_col: str = "text") -> None:
+        assert num_perm % bands == 0
+        self.num_perm, self.bands, self.k = num_perm, bands, k
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm)
+        self.text_col = text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        if sh.size == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            m = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return m.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, bands, band_hashes = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch[self.text_col].to_pylist()):
+            sig = self.signature(text)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                bh = int(stable_hash_strings(
+                    ["|".join(map(str, chunk.tolist()))])[0] >> np.uint64(1))
+                doc_ids.append(doc_id)
+                bands.append(band)
+                band_hashes.append(bh)
+        return pa.table({
+            "doc_id": pa.array(doc_ids),
+            "band": pa.array(bands, type=pa.int32()),
+            "band_hash": pa.array(band_hashes, type=pa.int64()),
+        })
+
+
+def minhash_candidates(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
+                       k: int = 3, text_col: str = "text") -> list[tuple]:
+    """LSH bucket groupby → unordered candidate pairs (a < b)."""
+    sig = ds.map_batches(MinHasher,
+                         fn_constructor_kwargs=dict(num_perm=num_perm,
+                                                    bands=bands, k=k,
+                                                    text_col=text_col),
+                         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pa.table({"a": pa.array(out_a, type=group["doc_id"].type),
+                         "b": pa.array(out_b, type=group["doc_id"].type)})
+
+    cand = (sig.groupby(["band", "band_hash"])
+            .map_groups(pairs_in_bucket, batch_format="pyarrow"))
+    pairs = {(r["a"], r["b"]) for r in cand.to_pandas().to_dict("records")}
+    return sorted(pairs)
+
+
+def ngram_jaccard(texts: dict, pairs: list[tuple], k: int = 3) -> list[dict]:
+    """Exact k-shingle Jaccard for candidate pairs (the verify stage)."""
+    cache = {d: set(_shingle_hashes(t, k).tolist()) for d, t in texts.items()}
+    out = []
+    for a, b in pairs:
+        sa, sb = cache[a], cache[b]
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 1.0
+        out.append({"a": a, "b": b, "jaccard": round(j, 4)})
+    return out
+
+
+def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.7,
+                        num_perm: int = 64, bands: int = 16, k: int = 3,
+                        text_col: str = "text") -> pa.Table:
+    """Near-dup pairs with verified Jaccard ≥ threshold.
+
+    Verification reads candidate texts via a driver-side broadcast lookup —
+    valid while |candidates| ≪ corpus (LSH's contract); see module docstring
+    for the cluster-scale variant.
+    """
+    pairs = minhash_candidates(ds, num_perm, bands, k, text_col)
+    if not pairs:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    need = {x for p in pairs for x in p}
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pa.array([d in need for d in batch["doc_id"].to_pylist()])
+        return batch.filter(mask).select(["doc_id", text_col])
+
+    texts = {r["doc_id"]: r[text_col]
+             for r in ds.map_batches(project, batch_format="pyarrow")
+             .to_pandas().to_dict("records")}
+    verified = [r for r in ngram_jaccard(texts, pairs, k)
+                if r["jaccard"] >= threshold]
+    verified.sort(key=lambda r: (r["a"], r["b"]))
+    return pa.Table.from_pylist(verified) if verified else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash per document, vectorized: word hashes vote ±1 per bit,
+    segmented per row via cumsum differences."""
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy()
+    wh = stable_hash_strings(words.flatten())
+    bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64) * 2 - 1  # (n_words, 64) in {-1,1}
+    cs = np.concatenate([np.zeros((1, 64), np.int64),
+                         np.cumsum(bits, axis=0, dtype=np.int64)])
+    seg = cs[offsets[1:]] - cs[offsets[:-1]]          # (n_rows, 64) votes
+    sh = ((seg > 0).astype(np.uint64)
+          << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "simhash": pa.array(sh.astype(np.int64)),
+    })
+
+
+def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
+                           text_col: str = "text") -> pa.Table:
+    """Candidate pairs by 4×16-bit band blocking, verified by exact Hamming
+    distance ≤ max_hamming. Blocking guarantee: any pair with ≤3 differing
+    bits agrees on ≥1 of the 4 bands (pigeonhole)."""
+    sigs = ds.map_batches(lambda b: simhash_batch(b, text_col),
+                          batch_format="pyarrow")
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        sh = batch["simhash"].to_numpy().astype(np.uint64)
+        n = len(sh)
+        out_band = np.repeat(np.arange(4, dtype=np.int32), 1)[None, :]
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        chunks = np.concatenate([
+            ((sh >> np.uint64(16 * i)) & np.uint64(0xFFFF))[:, None]
+            for i in range(4)], axis=1).reshape(-1)
+        return pa.table({
+            "doc_id": pc.take(batch["doc_id"],
+                              pa.array(np.repeat(np.arange(n), 4))),
+            "simhash": pc.take(batch["simhash"],
+                               pa.array(np.repeat(np.arange(n), 4))),
+            "band": pa.array(bands, type=pa.int32()),
+            "chunk": pa.array(chunks.astype(np.int64)),
+        })
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        rows = sorted({(d, s) for d, s in zip(group["doc_id"].to_pylist(),
+                                              group["simhash"].to_pylist())})
+        a, b, ham = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
+                if d <= max_hamming:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    ham.append(d)
+        return pa.table({"a": pa.array(a, type=group["doc_id"].type),
+                         "b": pa.array(b, type=group["doc_id"].type),
+                         "hamming": pa.array(ham, type=pa.int32())})
+
+    pairs = (sigs.map_batches(explode_bands, batch_format="pyarrow")
+             .groupby(["band", "chunk"])
+             .map_groups(pairs_in_bucket, batch_format="pyarrow"))
+    df = pairs.to_pandas().drop_duplicates(subset=["a", "b"])
+    df = df.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    emb = batch[col]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    offs = emb.offsets.to_numpy()
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    vals = emb.values.to_numpy().astype(np.float64)
+    return vals.reshape(-1, dim) if dim else vals.reshape(0, 0)
+
+
+def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
+                             col: str = "embedding",
+                             id_col: str = "vec_id") -> pa.Table:
+    """Pairs with cosine ≥ threshold: per-batch matmul against the broadcast
+    normalized matrix (brute force; see module docstring for the LSH-bucketed
+    scale path)."""
+    full = ds.to_arrow_refs()
+    tables = [ray.get(r) for r in full]
+    all_t = pa.concat_tables(tables).combine_chunks()
+    ids = all_t[id_col].to_numpy()
+    M = _embedding_matrix(all_t, col)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    Mn = M / np.maximum(norms, 1e-12)
+    ref = ray.put((ids, Mn))
+
+    def score(batch: pa.Table) -> pa.Table:
+        all_ids, Mn_b = ray.get(ref)
+        B = _embedding_matrix(batch, col)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        sims = Bn @ Mn_b.T
+        bids = batch[id_col].to_numpy()
+        ai, bj = np.nonzero(sims >= threshold)
+        mask = bids[ai] < all_ids[bj]  # dedupe (a<b) and drop self-pairs
+        return pa.table({
+            "a": pa.array(bids[ai][mask]),
+            "b": pa.array(all_ids[bj][mask]),
+            "cosine": pa.array(np.round(sims[ai, bj][mask], 4)),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,108 @@
+"""Similarity search over an embedding column (task extension set).
+
+- ``brute_force_topk``: baseline — broadcast the (small) query matrix via
+  ``ray.put``; each batch computes a float64 matmul and emits only its LOCAL
+  top-k candidates (a combiner), so the driver-side merge sees
+  O(k × blocks × queries) rows, never the corpus.
+- ``lsh_topk``: scale path — random-hyperplane signatures bucket the corpus;
+  only buckets matching a query's signature (within ``probe`` bit flips) are
+  scored. Same per-batch kernel, pre-filtered by bucket.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .dedup import _embedding_matrix
+
+
+def brute_force_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
+                     col: str = "embedding", id_col: str = "vec_id",
+                     metric: str = "cosine") -> pa.Table:
+    """Top-k rows by cosine similarity to a single query vector.
+
+    Returns (id_col, sim:float64 rounded 4) sorted by (-sim, id). Determinism:
+    ties broken by id ascending.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        M = _embedding_matrix(batch, col)
+        if M.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = Mn @ qv
+        ids = batch[id_col].to_numpy()
+        if len(sims) > k:
+            part = np.argpartition(-sims, k)[:k]
+        else:
+            part = np.arange(len(sims))
+        return pa.table({id_col: pa.array(ids[part]),
+                         "sim": pa.array(sims[part])})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    top = heapq.nsmallest(k, cand.to_dict("records"),
+                          key=lambda r: (-r["sim"], r[id_col]))
+    return pa.table({
+        id_col: pa.array([r[id_col] for r in top], type=pa.int64()),
+        "sim": pa.array([round(r["sim"], 4) for r in top], type=pa.float64()),
+    })
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures for bucketed ANN (actor-pool stage)."""
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 13) -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits))
+        self.n_bits = n_bits
+
+    def sign(self, M: np.ndarray) -> np.ndarray:
+        bits = (M @ self.planes) > 0
+        return (bits.astype(np.uint64)
+                << np.arange(self.n_bits, dtype=np.uint64)[None, :]).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _embedding_matrix(batch)
+        return batch.append_column(
+            "bucket", pa.array(self.sign(M).astype(np.int64)))
+
+
+def lsh_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
+             n_bits: int = 12, probe_bits: int = 2,
+             col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    """ANN top-k: score only rows whose hyperplane bucket is within
+    ``probe_bits`` bit flips of the query's bucket. Recall < 1 by design;
+    tested against brute force for overlap, not equality."""
+    q = np.asarray(query, dtype=np.float64)
+    dim = q.shape[0]
+    lsh = HyperplaneLSH(dim, n_bits)
+    q_bucket = int(lsh.sign(q[None, :])[0])
+    # buckets within hamming distance probe_bits of the query's
+    probes = {q_bucket}
+    frontier = {q_bucket}
+    for _ in range(probe_bits):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(n_bits)}
+        probes |= frontier
+    probes_ref = ray.put(probes)
+    lsh_ref = ray.put(lsh)
+
+    def filter_buckets(batch: pa.Table) -> pa.Table:
+        h = ray.get(lsh_ref)
+        pset = ray.get(probes_ref)
+        M = _embedding_matrix(batch, col)
+        buckets = h.sign(M).astype(np.int64)
+        mask = pa.array(np.isin(buckets, np.fromiter(pset, dtype=np.int64)))
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(filter_buckets, batch_format="pyarrow")
+    return brute_force_topk(filtered, query, k, col, id_col)

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing (task extension set).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed metadata
+(``media_type``, ``width``/``height``/``duration_ms``). The Ray-side plumbing —
+schema, actor-pool stage shape, batch sizing for wide binary rows, output
+layout — is real and tested; the actual codec work is STUBBED because no
+image/audio libraries exist in this container:
+
+- ``Decoder(fake=False)`` raises ``NotImplementedError`` at decode time —
+  the documented integration point for PIL/torchaudio/ffmpeg.
+- ``Decoder(fake=True)`` produces a deterministic fake decode (byte-hash
+  statistics standing in for pixels) so pipelines and tests exercise the full
+  path.
+
+Batch-size guidance: for payloads ≥1 MiB keep ``batch_size`` small (≤64) and
+rely on Ray's block splitting; binary columns stay in Arrow end-to-end
+(never pandas — object dtype would copy every payload).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import stable_hash_ints
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),       # "image" | "audio" | "video"
+    ("payload", pa.binary()),
+    ("width", pa.int32()),             # image/video; -1 otherwise
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),       # audio/video; -1 otherwise
+])
+
+FEATURE_DIM = 16
+
+
+def synth_media_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic fake media rows (payload = seeded bytes) for tests."""
+    rng_bytes = []
+    types = []
+    for i in range(n):
+        h = stable_hash_ints(np.array([seed * 1_000_003 + i]))[0]
+        size = 64 + int(h % np.uint64(512))
+        rng = np.random.default_rng(int(h))
+        rng_bytes.append(rng.integers(0, 256, size=size, dtype=np.uint8).tobytes())
+        types.append(("image", "audio", "video")[i % 3])
+    return pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "media_type": pa.array(types),
+        "payload": pa.array(rng_bytes, type=pa.binary()),
+        "width": pa.array([64 if t != "audio" else -1 for t in types], pa.int32()),
+        "height": pa.array([48 if t != "audio" else -1 for t in types], pa.int32()),
+        "duration_ms": pa.array([1000 if t != "image" else -1 for t in types],
+                                pa.int32()),
+    })
+
+
+class Decoder:
+    """Actor-pool decode/feature-extract stage.
+
+    __init__ is the once-per-actor model-load point (here: nothing to load for
+    the fake; a real deployment loads PIL/torch weights HERE, not per batch).
+    __call__ appends ``features: list<float>(FEATURE_DIM)`` and
+    ``decode_ok: bool``.
+    """
+
+    def __init__(self, fake: bool = False) -> None:
+        self.fake = fake
+
+    def _decode_one(self, payload: bytes, media_type: str) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "real decode requires an image/audio library not present in "
+                "this container; construct Decoder(fake=True) or install "
+                "PIL/torchaudio and implement here")
+        # deterministic fake: per-chunk byte statistics as 'features'
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        chunks = np.array_split(arr, FEATURE_DIM)
+        return np.array([c.mean() if c.size else 0.0 for c in chunks])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, ok = [], []
+        for payload, mt in zip(batch["payload"].to_pylist(),
+                               batch["media_type"].to_pylist()):
+            try:
+                feats.append(self._decode_one(payload, mt).tolist())
+                ok.append(True)
+            except NotImplementedError:
+                raise
+            except Exception:
+                feats.append([0.0] * FEATURE_DIM)
+                ok.append(False)
+        out = batch.append_column(
+            "features", pa.array(feats, type=pa.list_(pa.float64())))
+        return out.append_column("decode_ok", pa.array(ok, type=pa.bool_()))
+
+
+class FrameSampler:
+    """Video frame-sample stage shape: emits ``n_frames`` child rows per video
+    row (fake frames = payload slices), preserving parent ``media_id``."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True) -> None:
+        if not fake:
+            raise NotImplementedError("real frame extraction needs ffmpeg")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, idxs = [], [], []
+        for mid, payload, mt in zip(batch["media_id"].to_pylist(),
+                                    batch["payload"].to_pylist(),
+                                    batch["media_type"].to_pylist()):
+            if mt != "video":
+                continue
+            step = max(1, len(payload) // self.n_frames)
+            for fi in range(self.n_frames):
+                ids.append(mid)
+                idxs.append(fi)
+                frames.append(payload[fi * step:(fi + 1) * step])
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_no": pa.array(idxs, type=pa.int32()),
+            "frame": pa.array(frames, type=pa.binary()),
+        })

@@ -1,0 +1,141 @@
+"""Text-analysis operators over the ``documents`` table (task extension set):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All vectorized per Arrow batch; no per-row Python in hot
+paths except where a row's variable-length structure requires numpy segment
+ops (offsets/cumsum patterns, same as stages/parse.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import stable_hash_strings
+
+STOPWORDS = ("the", "a")  # the articles present in the driver corpus vocab
+
+
+def _split_words(text_col) -> pa.ListArray:
+    words = pc.split_pattern(text_col, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    return words
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count: count(' ') + 1 (matches the SQL formula)."""
+    n = pc.add(pc.count_substring(batch[text_col], " "), 1)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pc.cast(n, pa.int32()),
+    })
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / word-length / stopword-ratio quality features + a scalar score.
+
+    score = n_words/(n_words+50) * (1 - stop_ratio/2)  — bounded (0,1),
+    SQL-reproducible (see pipelines/queries.py quality_score oracle).
+    """
+    words = _split_words(batch[text_col])
+    n_words = pc.list_value_length(words).to_numpy().astype(np.float64)
+    n_chars = pc.utf8_length(batch[text_col]).to_numpy(zero_copy_only=False
+                                                       ).astype(np.float64)
+    flat = words.flatten()
+    offsets = words.offsets.to_numpy()
+    stop_mask = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))
+                         ).to_numpy(zero_copy_only=False)
+    cs = np.concatenate([[0], np.cumsum(stop_mask, dtype=np.int64)])
+    n_stop = (cs[offsets[1:]] - cs[offsets[:-1]]).astype(np.float64)
+
+    avg_word_len = (n_chars - (n_words - 1)) / np.maximum(n_words, 1)
+    stop_ratio = n_stop / np.maximum(n_words, 1)
+    score = n_words / (n_words + 50.0) * (1.0 - stop_ratio / 2.0)
+
+    def r4(x):
+        # floor(x*1e4+0.5)/1e4: identical IEEE ops to the SQL oracle formula
+        return pa.array(np.floor(x * 10000.0 + 0.5) / 10000.0,
+                        type=pa.float64())
+
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(n_words.astype(np.int32), type=pa.int32()),
+        "avg_word_len": r4(avg_word_len),
+        "stop_ratio": r4(stop_ratio),
+        "quality": r4(score),
+    })
+
+
+# --- language ID (heuristic; rows-only oracle) ------------------------------
+# character-frequency profiles for a handful of languages; deterministic and
+# dependency-free. Real pipelines would swap in fastText here (actor-pool
+# stage, model loaded once per actor) — the plumbing is identical.
+_PROFILES: dict[str, str] = {
+    "en": "etaoinshrdl",
+    "fr": "esaitnrulod",
+    "es": "eaosrnidltc",
+    "de": "enisratdhul",
+    "zh": "",  # non-ascii dominant
+}
+
+
+class LangId:
+    """Actor-pool stage: profiles 'loaded' once per actor in __init__."""
+
+    def __init__(self) -> None:
+        self.tables = {}
+        for lang, chars in _PROFILES.items():
+            w = np.zeros(128, dtype=np.float64)
+            for rank, ch in enumerate(chars):
+                w[ord(ch)] = len(chars) - rank
+            self.tables[lang] = w / (w.sum() or 1.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs = []
+        for t in texts:
+            b = t.encode("utf-8", "ignore")
+            ascii_ratio = sum(c < 128 for c in b) / max(len(b), 1)
+            if ascii_ratio < 0.6:
+                langs.append("zh")
+                continue
+            counts = np.bincount(
+                np.frombuffer(b, dtype=np.uint8).clip(max=127), minlength=128
+            ).astype(np.float64)
+            counts /= counts.sum() or 1.0
+            scores = {lang: float(np.dot(counts, w))
+                      for lang, w in self.tables.items() if lang != "zh"}
+            langs.append(max(sorted(scores), key=scores.get))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(langs, type=pa.string()),
+        })
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Order-sensitive 64-bit document fingerprint (rolling-hash style):
+    fp = XOR_i mix(word_hash_i + golden*i)  — vectorized over the flattened
+    word buffer; deterministic across processes (stable hash)."""
+    words = _split_words(batch[text_col])
+    offsets = words.offsets.to_numpy()
+    flat = words.flatten()
+    wh = stable_hash_strings(flat)
+    pos = (np.arange(len(wh), dtype=np.uint64)
+           - np.repeat(offsets[:-1].astype(np.uint64),
+                       (offsets[1:] - offsets[:-1])))
+    with np.errstate(over="ignore"):
+        mixed = (wh + pos * np.uint64(0x9E3779B97F4A7C15))
+        mixed = (mixed ^ (mixed >> np.uint64(29))) * np.uint64(0xBF58476D1CE4E5B9)
+    # segmented XOR via reduce on cumulative trick: xor has no cumsum; use
+    # np.bitwise_xor.reduceat guarded for empty rows
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > offsets[:-1]
+    fp = np.zeros(batch.num_rows, dtype=np.uint64)
+    if mixed.size:
+        red = np.bitwise_xor.reduceat(mixed, starts[nonempty].astype(np.int64))
+        fp[nonempty] = red
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array([format(x, "016x") for x in fp],
+                                type=pa.string()),
+    })

@@ -1,0 +1,747 @@
+"""The driver verification surface: queries() + oracle_sql() (SURVEY.md §3.2).
+
+One entry per implemented operator from SURVEY.md §2 (plus the task's
+extension set). Each query callable takes ``sf_dir`` and returns a Dataset /
+pandas DataFrame / pyarrow Table; ``ORACLE_SQL[name]`` is the DuckDB-runnable
+ANSI SQL over the same parquet views producing the SAME column names. Ops
+whose semantics aren't SQL-expressible have no SQL entry (driver records the
+weaker rows-only check).
+
+Float-equality discipline (so order-insensitive value hashes match):
+
+- per-row derived doubles: both sides compute the identical formula on
+  identical input doubles → identical bits; ``round(x, 4)`` on both sides.
+- aggregated doubles: both sides sum EXACT integers — ``floor(x*100 + 0.5)``
+  per row (bit-identical on both sides) summed as int64 — then divide by 100.
+  Summation order can then never change the result.
+
+The documents→sequences bridge (synth.tokenize_documents) is reproduced in
+SQL by string arithmetic (n_tok = count(' ')+3, doc_id = source/date/seq), and
+the enrich dim + router rules are inlined as literal VALUES / CASE — so even
+the flagship per-sink counts have a full SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .. import schema as S
+from ..config import bridge_spec
+from ..stages import agg
+from ..stages.enrich import build_dim_table
+from ..stages.parse import explode_sections, make_parse_fn
+from ..synth import tokenize_documents
+from .flagship import build_routed
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _seq_ds(sf_dir: str) -> rd.Dataset:
+    """documents → flagship sequences, as a lazy Dataset stage."""
+    return (_read(sf_dir, "documents", ["doc_id", "text", "source"])
+            .map_batches(tokenize_documents, batch_format="pyarrow"))
+
+
+def _cents(col):
+    """floor(x*100 + 0.5) as int64 — exact-summable money representation."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+_CENTS_SQL = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+
+
+def _r4(arr):
+    """floor(x*1e4 + 0.5)/1e4 — rounding as explicit IEEE ops so the engine
+    and the DuckDB oracle (same formula in SQL) produce bit-identical doubles;
+    library round() kernels differ in tie/ulp behavior across systems."""
+    return pc.divide(pc.floor(pc.add(pc.multiply(arr, 10000.0), 0.5)), 10000.0)
+
+
+_R4_SQL = "floor({x} * 10000 + 0.5) / 10000"
+
+
+# The 20 document sources get their dim rows inlined into oracle SQL.
+_DIM_SOURCES = [f"src{i}" for i in range(20)]
+
+
+def _dim_values_sql() -> str:
+    dim = build_dim_table(_DIM_SOURCES).to_pylist()
+    rows = ", ".join(
+        f"('{r['source']}', '{r['meta_tenant']}', '{r['meta_region']}', "
+        f"{r['meta_priority']}, '{r['sink_hint']}')" for r in dim)
+    return (f"(VALUES {rows}) AS dim(source, meta_tenant, meta_region, "
+            "meta_priority, sink_hint)")
+
+
+_SEQ_SQL = """
+seq AS (
+  SELECT source || '/2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || '/' || CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 3 AS INTEGER) AS n_tok,
+         source
+  FROM documents)
+"""
+
+# router rules of config.default_router, as SQL (bridge rows are always
+# parse_class='ok' with n_sections=1, so quarantine/sectioned cannot fire,
+# but the CASE keeps every rule for fidelity)
+_SINK_CASE_SQL = """
+  CASE WHEN 'ok' <> 'ok' THEN 'quarantine'
+       WHEN meta_priority >= 3 THEN 'hot'
+       WHEN 1 > 1 THEN 'sectioned'
+       WHEN regexp_matches(source, '^src[0-9]*[02468]$') THEN 'archive_a'
+       ELSE 'archive_b' END
+"""
+
+_GROK_SQL_PATTERN = (r"^([a-z0-9_]+)/"
+                     r"(\d{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01]))/"
+                     r"(\d+)$")
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+# ===========================================================================
+# Flagship pipeline operators (P1, A2, A3 on the documents bridge)
+# ===========================================================================
+
+
+@q("parse_grok", f"""
+WITH {_SEQ_SQL.strip()}
+SELECT doc_id,
+       regexp_extract(doc_id, '{_GROK_SQL_PATTERN}', 1) AS src,
+       regexp_extract(doc_id, '{_GROK_SQL_PATTERN}', 2) AS date,
+       regexp_extract(doc_id, '{_GROK_SQL_PATTERN}', 3) AS seq
+FROM seq
+""")
+def parse_grok(sf_dir: str):
+    """P1: vectorized grok over doc_id → extracted struct fields as columns."""
+    spec = bridge_spec()
+    ds = _seq_ds(sf_dir).map_batches(
+        make_parse_fn(spec.vocab_size), batch_format="pyarrow")
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        f = batch["parse_fields"]
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "src": f.field("src"),
+            "date": f.field("date"),
+            "seq": f.field("seq"),
+        })
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+@q("per_sink_counts", f"""
+WITH {_SEQ_SQL.strip()},
+enriched AS (
+  SELECT seq.*, dim.meta_priority
+  FROM seq LEFT JOIN {_dim_values_sql()} USING (source))
+SELECT {_SINK_CASE_SQL.strip()} AS sink,
+       source, 'ok' AS parse_class, count(*) AS cnt
+FROM enriched
+GROUP BY 1, 2, 3
+""")
+def per_sink_counts_q(sf_dir: str):
+    """A2 — the flagship correctness target, over the documents bridge."""
+    routed = build_routed(_seq_ds(sf_dir), bridge_spec(),
+                          build_dim_table(_DIM_SOURCES))
+    return agg.per_sink_counts(routed)
+
+
+@q("ntok_hist", f"""
+WITH {_SEQ_SQL.strip()}
+SELECT CAST(n_tok // 8 AS INTEGER) AS bin, count(*) AS cnt
+FROM seq GROUP BY 1
+""")
+def ntok_hist_q(sf_dir: str):
+    """A3 global histogram (bin width 8 — bridge sequences are short)."""
+    ds = _seq_ds(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bins = (batch["n_tok"].to_numpy() // 8).astype(np.int32)
+        t = pa.table({"bin": pa.array(bins, type=pa.int32())})
+        g = t.group_by(["bin"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bin", "partial_rows"])
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("partial_rows", alias_name="cnt")))
+
+
+@q("enrich_docs", f"""
+SELECT d.doc_id, d.source, dim.meta_tenant, dim.meta_region, dim.meta_priority
+FROM documents d LEFT JOIN {_dim_values_sql()} USING (source)
+""")
+def enrich_docs(sf_dir: str):
+    """J1 broadcast lookup join (= ST1) row-level, on raw documents."""
+    from ..stages.enrich import enrich_batch
+    dim = build_dim_table(_DIM_SOURCES)
+    return (_read(sf_dir, "documents", ["doc_id", "source"])
+            .map_batches(lambda b: enrich_batch(b, dim).select(
+                ["doc_id", "source", "meta_tenant", "meta_region",
+                 "meta_priority"]), batch_format="pyarrow"))
+
+
+@q("explode_sections")  # rows-only: token-list semantics aren't SQL-friendly
+def explode_sections_q(sf_dir: str):
+    """P6: split sequences at SEC delimiters (bridge corpus → 1 child/row)."""
+    return (_seq_ds(sf_dir)
+            .map_batches(explode_sections, batch_format="pyarrow")
+            .drop_columns(["sec_tokens"]))
+
+
+# ===========================================================================
+# Relational core over driver tables (P3/P4/P5, J2–J4, A1/A4/A6, O1–O3, U1–U4, W1)
+# ===========================================================================
+
+
+@q("filter_events", """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type = 'click' AND value > 10
+""")
+def filter_events(sf_dir: str):
+    """P4 vectorized predicate filter."""
+    return (_read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+            .map_batches(lambda b: b.filter(
+                pc.and_(pc.equal(b["event_type"], "click"),
+                        pc.greater(b["value"], 10.0))), batch_format="pyarrow"))
+
+
+@q("project", """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+""")
+def project(sf_dir: str):
+    """P3 projection + computed column (exact-integer money)."""
+    def fn(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "revenue_cents": _cents(rev),
+        })
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_extendedprice",
+                  "l_discount"]).map_batches(fn, batch_format="pyarrow")
+
+
+@q("normalize_docs", """
+SELECT doc_id, lower(trim(text)) AS norm_text,
+       regexp_replace(text, ' +', ' ', 'g') AS squeezed
+FROM documents
+""")
+def normalize_docs(sf_dir: str):
+    """P5 string normalization (reference: paragraph sanitizer)."""
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "norm_text": pc.utf8_lower(pc.utf8_trim_whitespace(b["text"])),
+            "squeezed": pc.replace_substring_regex(b["text"], " +", " "),
+        })
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+@q("orders_customers", """
+SELECT c_mktsegment,
+       count(*) AS cnt,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def orders_customers(sf_dir: str):
+    """J2 hash join (Dataset.join) + A6 grouped aggregate."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_mktsegment": b["c_mktsegment"],
+                      "cents": _cents(b["o_totalprice"])})
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["c_mktsegment", "pc_cnt", "pc_sum"])
+
+    from ray.data.aggregate import Sum
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(Sum("pc_cnt", alias_name="cnt"),
+                       Sum("pc_sum", alias_name="total_cents")))
+
+
+@q("semi_orders", """
+SELECT o_orderkey, o_custkey
+FROM orders WHERE o_custkey IN
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""")
+def semi_orders(sf_dir: str):
+    """J3 semi-join via broadcast key set (pc.is_in)."""
+    import ray
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = (cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]), batch_format="pyarrow").to_pandas())
+    key_ref = ray.put(pa.array(sorted(keys["c_custkey"].tolist())))
+
+    def fn(b: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        return b.filter(pc.is_in(b["o_custkey"], value_set=ks))
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+@q("anti_orders", """
+SELECT o_orderkey, o_custkey
+FROM orders WHERE o_custkey NOT IN
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""")
+def anti_orders(sf_dir: str):
+    """J4 anti-join via broadcast key set, inverted."""
+    import ray
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = (cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]), batch_format="pyarrow").to_pandas())
+    key_ref = ray.put(pa.array(sorted(keys["c_custkey"].tolist())))
+
+    def fn(b: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        return b.filter(pc.invert(pc.is_in(b["o_custkey"], value_set=ks)))
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+@q("global_agg", """
+SELECT count(*) AS rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM lineitem
+""")
+def global_agg(sf_dir: str):
+    """A1 global aggregates in one pass."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+    ds = ds.map_batches(lambda b: b.append_column(
+        "qty_int", pc.cast(b["l_quantity"], pa.int64())), batch_format="pyarrow")
+    res = ds.aggregate(Count(alias_name="rows"),
+                       Sum("qty_int", alias_name="sum_qty"),
+                       Min("l_quantity", alias_name="min_qty"),
+                       Max("l_quantity", alias_name="max_qty"))
+    return pa.Table.from_pylist([dict(res)])
+
+
+@q("lineitem_by_flag", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_disc_cents,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def lineitem_by_flag(sf_dir: str):
+    """A6/A7: TPC-H-Q1-style grouped aggregate, partial+final (two-phase)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(1.0, b["l_discount"]))
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty": pc.cast(b["l_quantity"], pa.int64()),
+            "base": _cents(b["l_extendedprice"]),
+            "disc": _cents(disc_price),
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc", "sum"),
+             ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "p_qty", "p_base", "p_disc", "p_cnt"])
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("p_qty", alias_name="sum_qty"),
+                       Sum("p_base", alias_name="sum_base_cents"),
+                       Sum("p_disc", alias_name="sum_disc_cents"),
+                       Sum("p_cnt", alias_name="cnt")))
+
+
+@q("distinct_sources", """
+SELECT DISTINCT source FROM documents
+""")
+def distinct_sources(sf_dir: str):
+    """A4 exact distinct via per-block unique partials then global unique."""
+    ds = _read(sf_dir, "documents", ["source"])
+    partials = ds.map_batches(
+        lambda b: pa.table({"source": pc.unique(b["source"].combine_chunks()
+                            if isinstance(b["source"], pa.ChunkedArray)
+                            else b["source"])}), batch_format="pyarrow")
+    vals = sorted(partials.unique("source"))
+    return pa.table({"source": pa.array(vals, type=pa.string())})
+
+
+@q("sorted_counts", """
+SELECT source, count(*) AS cnt FROM documents
+GROUP BY source ORDER BY cnt DESC, source ASC
+""")
+def sorted_counts(sf_dir: str):
+    """O1 sort over A2-style counts (deterministic tiebreak on source)."""
+    ds = _read(sf_dir, "documents", ["source"])
+    return agg.group_count(ds, ["source"], alias="cnt").sort(
+        ["cnt", "source"], descending=[True, False])
+
+
+@q("topk_sources", """
+SELECT source, count(*) AS cnt FROM documents
+GROUP BY source ORDER BY cnt DESC, source ASC LIMIT 5
+""")
+def topk_sources(sf_dir: str):
+    """O3 top-k with deterministic tiebreak."""
+    ds = _read(sf_dir, "documents", ["source"])
+    counts = agg.group_count(ds, ["source"], alias="cnt")
+    return agg.top_k(counts, "cnt", 5, tiebreak="source")
+
+
+@q("sample")  # rows-only: seeded sampling has no SQL oracle
+def sample(sf_dir: str):
+    """O4 seeded fraction sample (determinism asserted in tests)."""
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]
+                 ).random_sample(0.1, seed=42)
+
+
+@q("union_all", """
+SELECT event_id, event_type FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, event_type FROM events WHERE event_type = 'error'
+""")
+def union_all(sf_dir: str):
+    """U1 union of two filtered streams."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+    clicks = ev.map_batches(lambda b: b.filter(
+        pc.equal(b["event_type"], "click")), batch_format="pyarrow")
+    errors = ev.map_batches(lambda b: b.filter(
+        pc.equal(b["event_type"], "error")), batch_format="pyarrow")
+    return clicks.union(errors)
+
+
+@q("intersect_keys", """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+""")
+def intersect_keys(sf_dir: str):
+    """U2 intersect on keys = semi-join over distincts."""
+    import ray
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    bkeys = set(cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]), batch_format="pyarrow")
+        .unique("c_custkey"))
+    okeys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    vals = sorted(bkeys & okeys)
+    return pa.table({"custkey": pa.array(vals, type=pa.int64())})
+
+
+@q("except_keys", """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""")
+def except_keys(sf_dir: str):
+    """U3 except on keys = anti-join over distincts."""
+    ckeys = set(_read(sf_dir, "customer", ["c_custkey"]).unique("c_custkey"))
+    okeys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    vals = sorted(ckeys - okeys)
+    return pa.table({"custkey": pa.array(vals, type=pa.int64())})
+
+
+@q("dedup_docs", """
+SELECT doc_id, source, text FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+""")
+def dedup_docs(sf_dir: str):
+    """U4 exact dedup: min-doc_id winner per distinct text (two-phase +
+    broadcast winner set; functions/dedup.py)."""
+    from ..functions.dedup import exact_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return exact_dedup(ds, content_col="text", key_col="doc_id")
+
+
+@q("tumbling_daily", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1
+""")
+def tumbling_daily(sf_dir: str):
+    """W1 tumbling window = groupby over truncated event time (§2.9)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.floor_temporal(b["ts"], unit="day"),
+            "cents": _cents(b["value"]),
+        })
+        g = t.group_by(["day"]).aggregate([([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["day", "p_cnt", "p_cents"])
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("p_cnt", alias_name="cnt"),
+                                      Sum("p_cents", alias_name="value_cents")))
+
+
+# ===========================================================================
+# Scalar-function families (§2.8)
+# ===========================================================================
+
+
+@q("str_funcs", """
+SELECT doc_id,
+       upper(text) AS up,
+       substr(text, 1, 10) AS first10,
+       length(text) AS n_chars,
+       length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+       source || ':' || lang AS tagged
+FROM documents
+""")
+def str_funcs(sf_dir: str):
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "up": pc.utf8_upper(b["text"]),
+            "first10": pc.utf8_slice_codeunits(b["text"], 0, 10),
+            "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            "n_words": pc.cast(pc.add(pc.count_substring(b["text"], " "), 1),
+                               pa.int64()),
+            "tagged": pc.binary_join_element_wise(b["source"], b["lang"], ":"),
+        })
+    return _read(sf_dir, "documents", ["doc_id", "text", "source", "lang"]
+                 ).map_batches(fn, batch_format="pyarrow")
+
+
+@q("date_funcs", """
+SELECT event_id,
+       date_trunc('day', ts) AS day,
+       date_trunc('hour', ts) AS hour,
+       CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       CAST(dayofweek(ts) AS INTEGER) AS dow
+FROM events
+""")
+def date_funcs(sf_dir: str):
+    """Temporal kernels; dow matches DuckDB numbering (Sunday=0)."""
+    def fn(b: pa.Table) -> pa.Table:
+        # pc.day_of_week: Monday=0 → shift to DuckDB's Sunday=0
+        arrow_dow = pc.day_of_week(b["ts"])
+        d = (arrow_dow.to_numpy(zero_copy_only=False).astype(np.int64) + 1) % 7
+        return pa.table({
+            "event_id": b["event_id"],
+            "day": pc.floor_temporal(b["ts"], unit="day"),
+            "hour": pc.floor_temporal(b["ts"], unit="hour"),
+            "hour_of_day": pc.cast(pc.hour(b["ts"]), pa.int32()),
+            "dow": pa.array(d.astype(np.int32), type=pa.int32()),
+        })
+    return _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+@q("math_funcs", """
+SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) / 10000 AS gross,
+       abs(l_discount - 0.05) AS disc_dev,
+       floor(ln(l_extendedprice) * 10000 + 0.5) / 10000 AS log_price,
+       CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_decile
+FROM lineitem
+""")
+def math_funcs(sf_dir: str):
+    def fn(b: pa.Table) -> pa.Table:
+        gross = pc.multiply(pc.multiply(b["l_extendedprice"],
+                                        pc.subtract(1.0, b["l_discount"])),
+                            pc.add(1.0, b["l_tax"]))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "gross": _r4(gross),
+            "disc_dev": pc.abs(pc.subtract(b["l_discount"], 0.05)),
+            "log_price": _r4(pc.ln(b["l_extendedprice"])),
+            "qty_decile": pc.cast(pc.ceil(pc.divide(b["l_quantity"], 10.0)),
+                                  pa.int64()),
+        })
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_extendedprice",
+                  "l_discount", "l_tax", "l_quantity"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+@q("arr_funcs", """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       floor(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) / 10000 AS first_val,
+       label
+FROM embeddings
+""")
+def arr_funcs(sf_dir: str):
+    """list kernels over embeddings (list<float>)."""
+    def fn(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        first = pc.list_element(emb, 0)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "dim": pc.cast(pc.list_value_length(emb), pa.int32()),
+            "first_val": _r4(pc.cast(first, pa.float64())),
+            "label": b["label"],
+        })
+    return _read(sf_dir, "embeddings").map_batches(fn, batch_format="pyarrow")
+
+
+@q("json_funcs", """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+""")
+def json_funcs(sf_dir: str):
+    """JSON-in-string extraction (fixed {"k": int} shape → regex kernel)."""
+    def fn(b: pa.Table) -> pa.Table:
+        f = pc.extract_regex(b["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        return pa.table({
+            "event_id": b["event_id"],
+            "k": pc.cast(f.field("k"), pa.int32()),
+        })
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+# ===========================================================================
+# Text analysis (extension set)
+# ===========================================================================
+
+
+@q("token_count", """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER)
+         AS n_words
+FROM documents
+""")
+def token_count(sf_dir: str):
+    from ..functions.text import token_count_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow")
+
+
+@q("quality_score", """
+WITH w AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+           AS n_words,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ('the', 'a'))) AS DOUBLE) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       floor((n_chars - (n_words - 1)) / n_words * 10000 + 0.5) / 10000 AS avg_word_len,
+       floor(n_stop / n_words * 10000 + 0.5) / 10000 AS stop_ratio,
+       floor(n_words / (n_words + 50.0) * (1.0 - (n_stop / n_words) / 2.0) * 10000 + 0.5) / 10000
+         AS quality
+FROM w
+""")
+def quality_score(sf_dir: str):
+    from ..functions.text import quality_score_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow")
+
+
+@q("lang_id")  # rows-only: heuristic model, no SQL equivalent
+def lang_id(sf_dir: str):
+    from ..functions.text import LangId
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+
+@q("fingerprint")  # rows-only: custom 64-bit rolling fingerprint
+def fingerprint(sf_dir: str):
+    from ..functions.text import fingerprint_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+
+
+# ===========================================================================
+# Dedup family + similarity search (extension set)
+# ===========================================================================
+
+
+@q("dedup_minhash")  # rows-only: LSH banding has no SQL oracle
+def dedup_minhash(sf_dir: str):
+    from ..functions.dedup import minhash_dedup_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_pairs(ds, threshold=0.5)
+
+
+@q("dedup_simhash")  # rows-only
+def dedup_simhash(sf_dir: str):
+    from ..functions.dedup import simhash_near_dup_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=3)
+
+
+@q("dedup_embed")  # rows-only
+def dedup_embed(sf_dir: str):
+    from ..functions.dedup import embedding_near_dup_pairs
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, threshold=0.5)
+
+
+@q("knn_cosine")  # rows-only: float32 cosine reproducibility vs DuckDB is
+def knn_cosine(sf_dir: str):  # not bit-stable; equality is tested in pytest
+    """Brute-force cosine top-10 around vec_id=0's embedding."""
+    import pyarrow.parquet as pq
+    from ..functions.knn import brute_force_topk
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qvec = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))
+                      ["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(ds, qvec, k=10)
+
+
+@q("knn_lsh")  # rows-only: ANN (recall<1 by design)
+def knn_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+    from ..functions.knn import lsh_topk
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qvec = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))
+                      ["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(ds, qvec, k=10, n_bits=8, probe_bits=2)

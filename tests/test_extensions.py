@@ -1,0 +1,129 @@
+"""Extension-operator tests: dedup family (planted duplicates), similarity
+search (brute force vs LSH recall), text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from blog_parser_ray.functions import dedup, knn, multimodal
+from blog_parser_ray.functions.text import fingerprint_batch
+
+BASE = ("the quick data table joins a big column stream with a small sort "
+        "merge query plan over the fast scan layer of the vector engine")
+
+
+def _docs_with_dups() -> pa.Table:
+    texts, ids = [], []
+    words = BASE.split()
+    for i in range(30):
+        rng = np.random.default_rng(i)
+        perm = [words[j] for j in rng.permutation(len(words))]
+        texts.append(" ".join(perm))
+        ids.append(i)
+    # planted: 100 = exact dup of 0; 101 = near dup of 1 (one word changed)
+    texts.append(texts[0]); ids.append(100)
+    near = texts[1].split(); near[5] = "changed"
+    texts.append(" ".join(near)); ids.append(101)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "source": pa.array(["s"] * len(ids)),
+                     "text": pa.array(texts)})
+
+
+def test_exact_dedup_planted():
+    t = _docs_with_dups()
+    out = dedup.exact_dedup(rd.from_arrow(t), "text", "doc_id").to_pandas()
+    assert len(out) == 31                      # 32 rows, one exact dup removed
+    assert 100 not in set(out["doc_id"])       # min-key winner kept
+    assert 0 in set(out["doc_id"])
+
+
+def test_minhash_finds_planted_pairs():
+    t = _docs_with_dups()
+    pairs = dedup.minhash_dedup_pairs(rd.from_arrow(t), threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    assert (0, 100) in got                     # exact dup: jaccard 1.0
+    assert (1, 101) in got                     # near dup above threshold
+    jacc = {(r["a"], r["b"]): r["jaccard"] for r in pairs.to_pylist()}
+    assert jacc[(0, 100)] == 1.0
+    assert 0.5 <= jacc[(1, 101)] < 1.0
+
+
+def test_simhash_finds_exact_dup():
+    t = _docs_with_dups()
+    pairs = dedup.simhash_near_dup_pairs(rd.from_arrow(t), max_hamming=3)
+    got = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    assert (0, 100) in got                     # identical text → hamming 0
+
+
+def test_embedding_near_dup_planted():
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((40, 16))
+    M[30] = M[3] + rng.standard_normal(16) * 0.01   # planted near-dup
+    t = pa.table({"vec_id": pa.array(range(40), type=pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in M],
+                                        type=pa.list_(pa.float32()))})
+    pairs = dedup.embedding_near_dup_pairs(rd.from_arrow(t), threshold=0.95)
+    got = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    assert (3, 30) in got
+
+
+def test_knn_brute_force_and_lsh():
+    rng = np.random.default_rng(8)
+    M = rng.standard_normal((200, 16))
+    t = pa.table({"vec_id": pa.array(range(200), type=pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in M],
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    q = M[7]
+    bf = knn.brute_force_topk(ds, q, k=10).to_pylist()
+    assert bf[0]["vec_id"] == 7 and bf[0]["sim"] == 1.0
+    sims = [r["sim"] for r in bf]
+    assert sims == sorted(sims, reverse=True)
+    # LSH is approximate: its results must be a subset of the corpus and
+    # overlap the exact top-10 (self-match always survives bucketing)
+    ann = knn.lsh_topk(ds, q, k=10, n_bits=8, probe_bits=2).to_pylist()
+    assert ann and ann[0]["vec_id"] == 7
+    overlap = {r["vec_id"] for r in ann} & {r["vec_id"] for r in bf}
+    assert len(overlap) >= 3
+
+
+def test_fingerprint_is_order_sensitive_and_deterministic():
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array(["a b c", "c b a", "a b c"])})
+    fp = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert fp[0] == fp[2]            # same text → same fingerprint
+    assert fp[0] != fp[1]            # order matters
+    fp2 = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert fp == fp2                 # deterministic
+
+
+def test_multimodal_plumbing():
+    t = multimodal.synth_media_table(30, seed=1)
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(multimodal.Decoder, fn_constructor_kwargs={"fake": True},
+                         batch_format="pyarrow", batch_size=8,
+                         concurrency=(1, 2), num_cpus=1).to_pandas()
+    assert len(out) == 30
+    assert all(len(f) == multimodal.FEATURE_DIM for f in out["features"])
+    assert out["decode_ok"].all()
+    # real decode is an explicit stub
+    import pytest
+    with pytest.raises(NotImplementedError):
+        multimodal.Decoder(fake=False)._decode_one(b"xx", "image")
+    # frame sampler emits n_frames children per video row, parent id kept
+    frames = ds.map_batches(multimodal.FrameSampler,
+                            fn_constructor_kwargs={"n_frames": 4, "fake": True},
+                            batch_format="pyarrow",
+                            concurrency=(1, 2), num_cpus=1).to_pandas()
+    n_videos = (t["media_type"].to_pandas() == "video").sum()
+    assert len(frames) == 4 * n_videos
+    assert set(frames["frame_no"]) == {0, 1, 2, 3}
+
+
+def test_sample_deterministic():
+    ds = rd.range(1000)
+    a = sorted(r["id"] for r in ds.random_sample(0.1, seed=42).take_all())
+    b = sorted(r["id"] for r in rd.range(1000).random_sample(0.1, seed=42).take_all())
+    assert a == b
