@@ -1,0 +1,201 @@
+"""Benchmark harness (BASELINE.md protocol; SURVEY.md §4.5).
+
+    python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # N=2 vs 4N=8 (and 32) CPUs in fresh subprocesses
+
+Headline metric: end-to-end flagship wall seconds (parse → enrich → route →
+per-sink write → aggregate) over a deterministic ≥600k-row synthetic corpus
+(seed 42, Zipf-skewed sources), matching BASELINE.json's target metric. The
+corpus is generated once into a cache dir and reused (generation excluded
+from timing; each timed level runs twice, second run reported, so the page
+cache is warm for both levels).
+
+Prints ONE JSON line:
+  {"metric": "e2e_flagship_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "rows_per_s": ..., "tokens_per_s": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = 4_000_000
+BENCH_SEED = 42
+CORPUS_CACHE = f"/tmp/bpr_bench_corpus_{BENCH_ROWS}_s{BENCH_SEED}"
+
+QUERY_NAMES = [
+    "per_sink_counts", "lineitem_by_flag", "orders_customers",
+    "tumbling_daily", "dedup_docs", "sorted_counts", "json_funcs",
+    "knn_cosine", "dedup_minhash",
+]
+
+
+def ensure_corpus() -> str:
+    marker = os.path.join(CORPUS_CACHE, "_DONE")
+    if os.path.exists(marker):
+        return CORPUS_CACHE
+    shutil.rmtree(CORPUS_CACHE, ignore_errors=True)
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from blog_parser_ray.synth import synth_table
+
+    os.makedirs(CORPUS_CACHE)
+    # 16 files × 50k-row row groups → 80 plannable partitions at 50k target
+    n_files = 16
+    per_file = BENCH_ROWS // n_files
+    for i in range(n_files):
+        t = synth_table(np.arange(i * per_file, (i + 1) * per_file),
+                        seed=BENCH_SEED)
+        pq.write_table(t, f"{CORPUS_CACHE}/part-{i:02d}.parquet",
+                       row_group_size=50_000)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return CORPUS_CACHE
+
+
+def drain(result) -> int:
+    """Consume a query result without holding it (rows returned)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        n = 0
+        for b in result.iter_batches(batch_size=None, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(result, (pa.Table, pd.DataFrame)):
+        return len(result)
+    return 0
+
+
+def run_once(num_cpus: int, sf_dir: str) -> dict:
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    from blog_parser_ray.config import PipelineSpec
+    from blog_parser_ray.runner import run as flagship_run
+
+    corpus = ensure_corpus()
+    spec = PipelineSpec(target_partition_rows=50_000)
+
+    # headline: one warm-up + three timed runs, report the MEDIAN (the shared
+    # VM's IO/memory subsystem is noisy; a single sample can be 2x off)
+    walls: list[float] = []
+    tokens = rows = None
+    for attempt in range(4):
+        out = f"/dev/shm/bpr_bench_out_{num_cpus}_{attempt}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.monotonic()
+        summary = flagship_run(corpus, out, spec, write_metrics=False)
+        wall = time.monotonic() - t0
+        if attempt > 0:
+            walls.append(wall)
+        assert summary["conserved"], summary
+        rows = summary["sink_rows"]
+        tokens = summary.get("manifest_rows") and _manifest_tokens(out)
+        shutil.rmtree(out, ignore_errors=True)
+    wall = sorted(walls)[len(walls) // 2]
+
+    from blog_parser_ray.pipelines.queries import QUERIES
+    qtimes = {}
+    if os.environ.get("BPR_BENCH_QUERIES", "1") != "0":
+        for name in QUERY_NAMES:
+            t0 = time.monotonic()
+            drain(QUERIES[name](sf_dir))
+            qtimes[name] = round(time.monotonic() - t0, 3)
+
+    return {
+        "metric": "e2e_flagship_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "rows": rows,
+        "walls": [round(w, 3) for w in walls],
+        "rows_per_s": round(rows / wall, 1),
+        "tokens": tokens,
+        "tokens_per_s": round(tokens / wall, 1) if tokens else None,
+    }
+
+
+def _manifest_tokens(out_dir: str) -> int:
+    total = 0
+    with open(os.path.join(out_dir, "_manifest", "manifest.jsonl")) as f:
+        for line in f:
+            if line.strip():
+                total += json.loads(line)["token_count"]
+    return total
+
+
+def scaling() -> dict:
+    """N vs 4N CPUs in fresh processes (BASELINE.md protocol).
+
+    N=2 → 4N=8: the sandbox VM's memory bandwidth saturates at ~8 GB/s with
+    ~8 concurrent streams and then DEGRADES (measured; see BENCH/BASELINE.md),
+    so parallelism levels beyond 8 measure the host's bandwidth ceiling, not
+    the engine. 2→8 sits inside the linear-bandwidth envelope; the 32-CPU
+    level is still run and reported for transparency.
+    """
+    results = {}
+    for ncpu in (2, 8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BPR_BENCH_QUERIES="1" if ncpu == 32 else "0")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(f"bench subprocess (cpus={ncpu}) failed")
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    t2, t8, t32 = (results[n]["value"] for n in (2, 8, 32))
+    eff = (t2 / t8) / (8 / 2)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "levels": "N=2 vs 4N=8 CPUs (see BENCH/BASELINE.md for why not 8/32)",
+        "sec_2": t2,
+        "sec_8": t8,
+        "sec_32": t32,
+        "efficiency_8_32": round((t8 / t32) / 4, 3),
+        "rows_per_s_2": results[2]["rows_per_s"],
+        "rows_per_s_8": results[8]["rows_per_s"],
+        "rows_per_s_32": results[32]["rows_per_s"],
+        "tokens_per_s_2": results[2]["tokens_per_s"],
+        "tokens_per_s_8": results[8]["tokens_per_s"],
+        "tokens_per_s_32": results[32]["tokens_per_s"],
+        "num_cpus": 32,
+        "sf": results[32]["sf"],
+        "queries": results[32]["queries"],
+    }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+        return 0
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    res = run_once(num_cpus, sf_dir)
+    import ray
+    ray.shutdown()
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,35 +48,36 @@ from .stages.sink import write_partition_sinks
 from .state.manifest import Manifest
 
 
-class PartitionProcessor:
-    """Actor: dim + spec resolved once; each call processes whole partitions."""
+def process_partitions(batch: pa.Table, dim_ref, spec: PipelineSpec,
+                       out_dir: str,
+                       inject_fail: frozenset = frozenset()) -> pa.Table:
+    """Stateless task over partition specs: read → parse → enrich → route →
+    atomic per-sink write, returning lineage rows.
 
-    def __init__(self, dim_ref, spec: PipelineSpec, out_dir: str,
-                 inject_fail: frozenset = frozenset()) -> None:
-        self.dim = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
-        self.dim = self.dim.combine_chunks()
-        self.spec = spec
-        self.out_dir = out_dir
-        self.inject_fail = inject_fail
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lineage: list[dict] = []
-        for row in batch.to_pylist():
-            spec_row = PartitionSpec(
-                partition_id=row["partition_id"], path=row["path"],
-                rg_start=row["rg_start"], rg_end=row["rg_end"],
-                num_rows=row["num_rows"])
-            t = read_partition(spec_row, columns=list(S.SEQUENCES_SCHEMA.names))
-            t = parse_batch(t, vocab_size=self.spec.vocab_size,
-                            max_tokens=self.spec.max_tokens)
-            t = enrich_batch(t, self.dim)
-            t = route_batch(t, self.spec.router)
-            lineage.extend(write_partition_sinks(
-                t, self.out_dir, spec_row.partition_id, spec_row.fragment,
-                inject_fail=self.inject_fail))
-        if not lineage:
-            return S.LINEAGE_SCHEMA.empty_table()
-        return pa.Table.from_pylist(lineage, schema=S.LINEAGE_SCHEMA)
+    A plain function (task pool), not an actor pool: the only state is the
+    broadcast dim table, and ``ray.get`` on an ObjectRef is a zero-copy
+    shared-memory read — so tasks keep the broadcast pattern while gaining
+    elastic scheduling with no actor-pool ramp-up (SURVEY.md §4.2; the
+    actor-pool form of the same stages lives in pipelines/flagship.py where
+    per-actor state is genuinely loaded once)."""
+    dim = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
+    lineage: list[dict] = []
+    for row in batch.to_pylist():
+        spec_row = PartitionSpec(
+            partition_id=row["partition_id"], path=row["path"],
+            rg_start=row["rg_start"], rg_end=row["rg_end"],
+            num_rows=row["num_rows"])
+        t = read_partition(spec_row, columns=list(S.SEQUENCES_SCHEMA.names))
+        t = parse_batch(t, vocab_size=spec.vocab_size,
+                        max_tokens=spec.max_tokens)
+        t = enrich_batch(t, dim)
+        t = route_batch(t, spec.router)
+        lineage.extend(write_partition_sinks(
+            t, out_dir, spec_row.partition_id, spec_row.fragment,
+            inject_fail=inject_fail))
+    if not lineage:
+        return S.LINEAGE_SCHEMA.empty_table()
+    return pa.Table.from_pylist(lineage, schema=S.LINEAGE_SCHEMA)
 
 
 def run(input_dir: str, out_dir: str, spec: PipelineSpec | None = None,
@@ -109,13 +110,12 @@ def run(input_dir: str, out_dir: str, spec: PipelineSpec | None = None,
             from .pipelines.flagship import default_dim
             dim = default_dim()
         dim_ref = ray.put(dim)
-        conc = concurrency or spec.enrich_concurrency
         specs_ds = rd.from_items([asdict(p) for p in todo])
         lineage_ds = specs_ds.map_batches(
-            PartitionProcessor,
-            fn_constructor_args=(dim_ref, spec, out_dir, inject_fail),
-            batch_size=1, batch_format="pyarrow",
-            concurrency=conc, num_cpus=1)
+            process_partitions,
+            fn_args=(dim_ref, spec, out_dir, inject_fail),
+            batch_size=1, batch_format="pyarrow", num_cpus=1,
+            **({"concurrency": concurrency} if concurrency else {}))
         # stream lineage as partitions finish → incremental commit (§3.3)
         done_rows = 0
         # batch_size=None → one batch per finished task = per-partition commits
@@ -137,28 +137,39 @@ def run(input_dir: str, out_dir: str, spec: PipelineSpec | None = None,
                 })
                 done_rows += sum(r["row_count"] for r in rs)
         summary["rows_written"] = done_rows
+    summary["write_phase_s"] = round(time.monotonic() - t_start, 3)
 
-    # ---- stage 8: aggregates over COMMITTED output ------------------------
+    # ---- stage 8: aggregates over COMMITTED output (one read-back pass) ---
+    import pyarrow.parquet as pq
+
     sinks_dir = os.path.join(out_dir, "sinks")
     agg_dir = os.path.join(out_dir, "_aggregates")
-    routed = rd.read_parquet(sinks_dir)
-    counts = agg.per_sink_counts(routed)
-    hist = agg.ntok_histogram(routed, bin_width=spec.hist_bin_width,
-                              max_tokens=spec.max_tokens)
+    routed = rd.read_parquet(sinks_dir, columns=["sink", "source",
+                                                 "parse_class", "tok_len"])
+    counts, hist = agg.per_sink_counts_and_hist(
+        routed, bin_width=spec.hist_bin_width, max_tokens=spec.max_tokens)
     tmp_agg = agg_dir + ".tmp"
     import shutil
     for d in (tmp_agg, agg_dir):
         shutil.rmtree(d, ignore_errors=True)
-    counts.sort(["sink", "source", "parse_class"]).write_parquet(
-        os.path.join(tmp_agg, "per_sink_counts"))
-    hist.sort(["sink", "bin"]).write_parquet(os.path.join(tmp_agg, "ntok_hist"))
+    os.makedirs(os.path.join(tmp_agg, "per_sink_counts"))
+    os.makedirs(os.path.join(tmp_agg, "ntok_hist"))
+    pq.write_table(counts.sort_by([("sink", "ascending"),
+                                   ("source", "ascending"),
+                                   ("parse_class", "ascending")]),
+                   os.path.join(tmp_agg, "per_sink_counts", "part-0.parquet"))
+    pq.write_table(hist.sort_by([("sink", "ascending"), ("bin", "ascending")]),
+                   os.path.join(tmp_agg, "ntok_hist", "part-0.parquet"))
     os.replace(tmp_agg, agg_dir)
 
     # ---- conservation check + metrics (§3.1 step 9) -----------------------
+    import pyarrow.compute as pc
+
     final_manifest = manifest.committed()
     manifest_rows = sum(r["row_count"] for r in final_manifest.values())
     plan_rows = sum(p.num_rows for p in plan)
-    sink_rows = routed.count()
+    # row count from the aggregate read-back itself — no extra pass
+    sink_rows = int(pc.sum(counts["cnt"]).as_py() or 0)
     summary.update({
         "plan_rows": plan_rows,
         "manifest_rows": manifest_rows,

@@ -82,6 +82,7 @@ PARSED_SCHEMA = pa.schema(
         ("parse_class", pa.string()),
         ("parse_fields", PARSE_FIELDS_TYPE),
         ("n_sections", pa.int32()),
+        ("tok_len", pa.int32()),  # materialized len(tokens), for cheap aggs
     ]
 )
 

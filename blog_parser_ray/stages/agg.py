@@ -81,6 +81,71 @@ def salted_group_count(ds: rd.Dataset, keys: list[str], salt_key: str,
 # ---------------------------------------------------------------------------
 
 
+def per_sink_counts_and_hist(routed: rd.Dataset, *, bin_width: int = 64,
+                             max_tokens: int = S.MAX_TOKENS
+                             ) -> tuple[pa.Table, pa.Table]:
+    """A2 + A3 in ONE pass over the routed data.
+
+    Each block emits a union-schema partial table (kind=0 count rows,
+    kind=1 histogram rows); the partials are tiny, so the two final groupbys
+    run over a driver-side Arrow table without re-reading the input. Returns
+    (per_sink_counts, ntok_hist) as small Arrow tables.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sink = (batch["sink"].combine_chunks()
+                if isinstance(batch["sink"], pa.ChunkedArray) else batch["sink"])
+        c = (batch.select(["sink", "source", "parse_class"])
+             .group_by(["sink", "source", "parse_class"])
+             .aggregate([([], "count_all")])
+             .rename_columns(["sink", "source", "parse_class", "cnt"]))
+        if "tok_len" in batch.column_names:
+            lengths = batch["tok_len"].to_numpy().astype(np.int64)
+        else:
+            tokens = batch["tokens"]
+            if isinstance(tokens, pa.ChunkedArray):
+                tokens = tokens.combine_chunks()
+            offs = tokens.offsets.to_numpy()
+            lengths = (offs[1:] - offs[:-1]).astype(np.int64)
+        bins = np.minimum(lengths, max_tokens) // bin_width
+        h = (pa.table({"sink": sink,
+                       "bin": pa.array(bins.astype(np.int32), type=pa.int32())})
+             .group_by(["sink", "bin"]).aggregate([([], "count_all")])
+             .rename_columns(["sink", "bin", "cnt"]))
+        return pa.table({
+            "kind": pa.array([0] * c.num_rows + [1] * h.num_rows, pa.int8()),
+            "sink": pa.concat_arrays([c["sink"].combine_chunks(),
+                                      h["sink"].combine_chunks()]),
+            "source": pa.concat_arrays(
+                [c["source"].combine_chunks(),
+                 pa.nulls(h.num_rows, pa.string())]),
+            "parse_class": pa.concat_arrays(
+                [c["parse_class"].combine_chunks(),
+                 pa.nulls(h.num_rows, pa.string())]),
+            "bin": pa.concat_arrays([pa.nulls(c.num_rows, pa.int32()),
+                                     h["bin"].combine_chunks()]),
+            "cnt": pa.concat_arrays([pc.cast(c["cnt"], pa.int64()).combine_chunks(),
+                                     pc.cast(h["cnt"], pa.int64()).combine_chunks()]),
+        })
+
+    partials = pa.concat_tables(
+        _collect(routed.map_batches(partial, batch_format="pyarrow")))
+    counts = (partials.filter(pc.equal(partials["kind"], 0))
+              .group_by(["sink", "source", "parse_class"])
+              .aggregate([("cnt", "sum")])
+              .rename_columns(["sink", "source", "parse_class", "cnt"]))
+    hist = (partials.filter(pc.equal(partials["kind"], 1))
+            .select(["sink", "bin", "cnt"])
+            .group_by(["sink", "bin"]).aggregate([("cnt", "sum")])
+            .rename_columns(["sink", "bin", "cnt"]))
+    return counts, hist
+
+
+def _collect(ds: rd.Dataset) -> list[pa.Table]:
+    import ray
+    return [ray.get(ref) for ref in ds.to_arrow_refs()]
+
+
 def per_sink_counts(routed: rd.Dataset) -> rd.Dataset:
     """A2 — the flagship correctness target: counts by (sink, source,
     parse_class), skew-safe by construction (partials shrink ~10⁴×)."""

@@ -40,10 +40,24 @@ def _list_layout(tokens: pa.ChunkedArray | pa.ListArray):
 
 
 def _segment_count(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Per-row count of True in ``mask`` (over flat values) — cumsum trick,
-    correct for empty rows where reduceat would misfire."""
-    cs = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
-    return cs[offsets[1:]] - cs[offsets[:-1]]
+    """Per-row count of True in ``mask`` (over flat values).
+
+    The masks this stage counts (bad token ids, SEC delimiters) are SPARSE,
+    so: positions of the hits (flatnonzero, one pass) → owning row
+    (searchsorted into the absolute offsets) → per-row counts (bincount).
+    Allocates O(hits + rows), never an O(values) cumsum temporary — this
+    stage is memory-bandwidth-bound at full node concurrency, so every large
+    temporary costs wall time (BENCH/BASELINE.md). Correct for empty rows and
+    for sliced arrays (offsets are absolute; hits outside [offsets[0],
+    offsets[-1]) are clipped away).
+    """
+    n = len(offsets) - 1
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    hits = np.flatnonzero(mask[lo:hi]) + lo
+    if hits.size == 0:
+        return np.zeros(n, dtype=np.int64)
+    rows = np.searchsorted(offsets, hits, side="right") - 1
+    return np.bincount(rows, minlength=n).astype(np.int64)
 
 
 def parse_batch(batch: pa.Table, *, vocab_size: int = S.DEFAULT_VOCAB_SIZE,
@@ -56,6 +70,7 @@ def parse_batch(batch: pa.Table, *, vocab_size: int = S.DEFAULT_VOCAB_SIZE,
         out = out.append_column("parse_fields",
                                 pa.array([], type=S.PARSE_FIELDS_TYPE))
         out = out.append_column("n_sections", pa.array([], type=pa.int32()))
+        out = out.append_column("tok_len", pa.array([], type=pa.int32()))
         return out
 
     # ---- P1: grok over doc_id --------------------------------------------
@@ -80,7 +95,9 @@ def parse_batch(batch: pa.Table, *, vocab_size: int = S.DEFAULT_VOCAB_SIZE,
     last_ok[ne_idx] = values[offsets[1:][ne_idx] - 1] == S.EOS
     no_bos = nonempty & ~(first_ok & last_ok)
 
-    bad_mask = (values < 0) | (values >= vocab_size)
+    # single-pass out-of-range check: int32 viewed as uint32 maps negatives
+    # above any valid vocab id, so one unsigned compare covers both bounds
+    bad_mask = values.view(np.uint32) >= np.uint32(vocab_size)
     bad_token = _segment_count(bad_mask, offsets) > 0
     oversized = lengths > max_tokens
     n_sections = (_segment_count(values == S.SEC, offsets) + 1).astype(np.int32)
@@ -96,6 +113,10 @@ def parse_batch(batch: pa.Table, *, vocab_size: int = S.DEFAULT_VOCAB_SIZE,
     out = batch.append_column("parse_class", pa.array(parse_class, type=pa.string()))
     out = out.append_column("parse_fields", fields.cast(S.PARSE_FIELDS_TYPE))
     out = out.append_column("n_sections", pa.array(n_sections, type=pa.int32()))
+    # materialized actual list length: lets downstream aggregates (A3 hist)
+    # read a 4-byte column instead of the token payload
+    out = out.append_column("tok_len",
+                            pa.array(lengths.astype(np.int32), type=pa.int32()))
     return out
 
 

@@ -50,7 +50,10 @@ def write_partition_sinks(table: pa.Table, out_dir: str, partition_id: int,
     for sink in sorted(sinks):
         sub = table.filter(pc.equal(sink_col, sink))
         tmp_path = os.path.join(tmp_dir, f"{sink}.parquet")
-        pq.write_table(sub, tmp_path)
+        # dictionary encoding already compacts the token payload ~3x; snappy
+        # on top is nearly free space-wise but costs an extra memory pass at
+        # full-node concurrency where this stage is bandwidth-bound
+        pq.write_table(sub, tmp_path, compression="NONE")
         final_dir = os.path.join(out_dir, "sinks", sink)
         os.makedirs(final_dir, exist_ok=True)
         final_path = os.path.join(final_dir, f"part-{partition_id:06d}.parquet")
