@@ -114,6 +114,55 @@ class PipelineSpec:
         return max(1, self.max_tokens // self.hist_bins)
 
 
+def router_from_dict(d: dict) -> RouterConfig:
+    """Data-driven router rules (SURVEY.md §2.10), e.g.::
+
+        {"default_sink": "rest",
+         "rules": [{"sink": "quarantine",
+                    "when": [{"column": "parse_class", "op": "ne",
+                              "value": "ok"}]}]}
+    """
+    rules = tuple(
+        RouterRule(sink=r["sink"],
+                   when=tuple(Predicate(p["column"], p["op"], p["value"])
+                              for p in r.get("when", [])))
+        for r in d.get("rules", ()))
+    rc = RouterConfig(rules=rules, default_sink=d.get("default_sink", "default"))
+    rc.validate()
+    return rc
+
+
+def spec_from_dict(d: dict) -> PipelineSpec:
+    """Build a PipelineSpec from a plain dict (JSON config file / CLI)."""
+    kwargs = {k: d[k] for k in ("vocab_size", "max_tokens", "hist_bins",
+                                "num_salts", "batch_size",
+                                "target_partition_rows") if k in d}
+    if "enrich_concurrency" in d:
+        kwargs["enrich_concurrency"] = tuple(d["enrich_concurrency"])
+    if "router" in d:
+        kwargs["router"] = router_from_dict(d["router"])
+    return PipelineSpec(**kwargs)
+
+
+def spec_to_dict(spec: PipelineSpec) -> dict:
+    return {
+        "vocab_size": spec.vocab_size,
+        "max_tokens": spec.max_tokens,
+        "hist_bins": spec.hist_bins,
+        "num_salts": spec.num_salts,
+        "batch_size": spec.batch_size,
+        "target_partition_rows": spec.target_partition_rows,
+        "enrich_concurrency": list(spec.enrich_concurrency),
+        "router": {
+            "default_sink": spec.router.default_sink,
+            "rules": [{"sink": r.sink,
+                       "when": [{"column": p.column, "op": p.op,
+                                 "value": p.value} for p in r.when]}
+                      for r in spec.router.rules],
+        },
+    }
+
+
 def bridge_spec() -> PipelineSpec:
     """Spec for corpora produced by the documents→sequences bridge
     (vocab = 31 words + specials; FIXTURES.md §1)."""

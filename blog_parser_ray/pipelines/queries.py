@@ -745,3 +745,124 @@ def knn_lsh(sf_dir: str):
                       ["embedding"].to_pylist()[0], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return lsh_topk(ds, qvec, k=10, n_bits=8, probe_bits=2)
+
+
+# ===========================================================================
+# Temporal windows / as-of / rank (J5, W2, W3) and sketches (A5)
+# ===========================================================================
+
+
+@q("asof_orders", """
+WITH ded AS (
+  SELECT o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_orderdate)
+SELECT e.event_id, d.o_orderkey
+FROM events e ASOF LEFT JOIN ded d ON e.ts >= d.o_orderdate
+""")
+def asof_orders(sf_dir: str):
+    """J5 as-of join: each event → latest order date at-or-before its ts.
+
+    Right side deduplicated to one deterministic row per timestamp (max
+    orderkey) so ties can't make the match ambiguous; broadcast plan
+    (orders-by-date is small after dedup)."""
+    import pyarrow.parquet as pq
+    from ..functions.window import asof_join_broadcast
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate"])
+    ded = (orders.group_by(["o_orderdate"]).aggregate([("o_orderkey", "max")])
+           .rename_columns(["o_orderdate", "o_orderkey"]))
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    joined = asof_join_broadcast(ev, ded, left_ts="ts",
+                                 right_ts="o_orderdate",
+                                 right_cols=["o_orderkey"])
+    return joined.select_columns(["event_id", "o_orderkey"])
+
+
+@q("session_counts", """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+      FROM g)
+SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS cnt
+FROM s GROUP BY user_id, sess
+""")
+def session_counts(sf_dir: str):
+    """W2 gap-based session windows (30 min) per user."""
+    from ..functions.window import session_windows
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return session_windows(ev, key="user_id", ts_col="ts", gap_minutes=30)
+
+
+@q("latest_order", """
+SELECT o_custkey, o_orderkey AS latest_orderkey
+FROM (SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn
+      FROM orders) WHERE rn = 1
+""")
+def latest_order(sf_dir: str):
+    """W3 rank-in-group: latest order per customer, deterministic tiebreak."""
+    from ..functions.window import latest_per_key
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"])
+    out = latest_per_key(orders, key="o_custkey", order_col="o_orderdate",
+                         tiebreak="o_orderkey",
+                         out_cols=["o_custkey", "o_orderkey"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["o_custkey", "latest_orderkey"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+@q("approx_users")  # rows-only: sketch estimate, no SQL equivalent
+def approx_users(sf_dir: str):
+    """A5 HLL approximate count-distinct of events.user_id (accuracy vs the
+    exact count asserted in tests)."""
+    from ..functions.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pa.table({"approx_distinct_users": pa.array([round(est, 1)])})
+
+
+@q("rollup_counts", """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_counts(sf_dir: str):
+    """Multi-level aggregate (ROLLUP): base counts computed distributed
+    (two-phase), subtotal levels derived from the tiny base result."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    base = agg.group_count(ds, ["l_returnflag", "l_linestatus"],
+                           alias="cnt").to_pandas()
+    import pandas as pd
+
+    sub = (base.groupby("l_returnflag", as_index=False)["cnt"].sum())
+    sub["l_linestatus"] = None
+    total = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
+                          "cnt": [base["cnt"].sum()]})
+    out = pd.concat([base, sub, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "cnt"]]
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+@q("decode_preview")  # rows-only: vocab decode, no SQL equivalent
+def decode_preview(sf_dir: str):
+    """P8/ST4: first-8-token preview decoded via the Vocab actor pool."""
+    from ..stages.vocab import Vocab
+
+    return (_seq_ds(sf_dir)
+            .map_batches(Vocab, fn_constructor_kwargs={"k": 8},
+                         batch_format="pyarrow", concurrency=(1, 4),
+                         num_cpus=1)
+            .select_columns(["doc_id", "preview"]))

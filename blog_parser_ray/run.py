@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--synth", type=int, default=None, metavar="N_ROWS",
                     help="instead of running: synthesize a corpus into --output")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--config", default=None,
+                    help="JSON pipeline config (see config.spec_from_dict)")
     args = ap.parse_args(argv)
 
     import ray
@@ -49,16 +51,23 @@ def main(argv: list[str] | None = None) -> int:
 
         if not args.input:
             ap.error("--input is required unless --synth is given")
-        from .config import PipelineSpec
+        from .config import PipelineSpec, spec_from_dict
         from .runner import run
 
-        kwargs = {}
+        if args.config:
+            with open(args.config, encoding="utf-8") as f:
+                spec = spec_from_dict(json.load(f))
+        else:
+            spec = PipelineSpec()
         if args.vocab_size is not None:
-            kwargs["vocab_size"] = args.vocab_size
+            spec.vocab_size = args.vocab_size
         if args.partition_rows is not None:
-            kwargs["target_partition_rows"] = args.partition_rows
-        spec = PipelineSpec(**kwargs)
-        summary = run(args.input, args.output, spec, resume=args.resume)
+            spec.target_partition_rows = args.partition_rows
+        try:
+            summary = run(args.input, args.output, spec, resume=args.resume)
+        except RuntimeError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         print(json.dumps(summary, sort_keys=True))
         return 0 if summary.get("conserved") else 1
     finally:
