@@ -51,13 +51,13 @@ def exact_dedup(ds: rd.Dataset, content_col: str = "text",
 
     winners_ds = (ds.map_batches(partial, batch_format="pyarrow")
                   .groupby("h").aggregate(Min("winner", alias_name="winner")))
-    winner_set = set(winners_ds.to_pandas()["winner"].tolist())
-    winner_ref = ray.put(winner_set)
+    winners = pa.concat_tables(
+        [ray.get(r) for r in winners_ds.to_arrow_refs()])["winner"]
+    winner_ref = ray.put(winners.combine_chunks())
 
     def keep(batch: pa.Table) -> pa.Table:
-        ws = ray.get(winner_ref)
-        mask = pa.array([k in ws for k in batch[key_col].to_pylist()])
-        return batch.filter(mask)
+        ws = ray.get(winner_ref)  # zero-copy shared-memory read per task
+        return batch.filter(pc.is_in(batch[key_col], value_set=ws))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

@@ -1,0 +1,74 @@
+"""Explicit partitioned hash join (SURVEY.md §2.4 J2 fallback).
+
+``Dataset.join`` (Ray ≥2.46) is the default plan for big⋈big equi-joins; this
+module keeps the portable pattern behind one interface for when the native
+join is unavailable or mis-plans: add ``bucket = stable_hash(key) % B`` to
+both sides, co-group per bucket, and hash-join inside ``map_groups``. Skew:
+a hot key lands in one bucket but a bucket is joined with pandas merge
+(hash join) — only pathological single-key dominance needs extra salting,
+which callers do by range-splitting that key upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..hashing import stable_hash_ints, stable_hash_strings
+
+
+def _bucket_col(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    col = batch[key]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        h = stable_hash_ints(col.to_numpy())
+    else:
+        h = stable_hash_strings(col)
+    return batch.append_column(
+        "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+
+def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, *,
+                       left_on: str, right_on: str,
+                       num_buckets: int = 32,
+                       how: str = "inner") -> rd.Dataset:
+    """Equi-join via explicit hash bucketing + per-bucket pandas merge.
+
+    Both sides are tagged with a side marker and a shared bucket id, unioned
+    under ONE padded schema (mixed-schema unions misalign blocks — see
+    window.asof_join_keyed), then co-grouped by bucket; each group runs a
+    local hash join. One shuffle per side, on the same key.
+    """
+    l_cols = left.schema().names
+    r_cols = right.schema().names
+    overlap = (set(l_cols) & set(r_cols)) - {left_on}
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def prep(side: int, key: str, have: list[str]):
+        def fn(batch: pa.Table) -> pd.DataFrame:
+            batch = _bucket_col(batch, key, num_buckets)
+            df = batch.to_pandas()
+            for c in all_cols:
+                if c not in have:
+                    df[c] = np.nan
+            df["_side"] = side
+            return df[all_cols + ["_bucket", "_side"]]
+        return fn
+
+    both = (left.map_batches(prep(0, left_on, l_cols), batch_format="pyarrow")
+            .union(right.map_batches(prep(1, right_on, r_cols),
+                                     batch_format="pyarrow")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][l_cols]
+        rg = g[g["_side"] == 1][r_cols]
+        merged = lg.merge(rg, left_on=left_on, right_on=right_on, how=how,
+                          suffixes=("", "_r"))
+        return merged[all_cols]
+
+    return both.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")

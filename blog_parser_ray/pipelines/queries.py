@@ -866,3 +866,75 @@ def decode_preview(sf_dir: str):
                          batch_format="pyarrow", concurrency=(1, 4),
                          num_cpus=1)
             .select_columns(["doc_id", "preview"]))
+
+
+# ===========================================================================
+# Multi-join, bucketed join, exact quantiles
+# ===========================================================================
+
+
+@q("orders_by_nation", """
+SELECT n_name, count(*) AS cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def orders_by_nation(sf_dir: str):
+    """Chained hash joins (J2 ×2): orders ⋈ customer ⋈ nation → counts."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    oc = orders.join(cust, join_type="inner", num_partitions=8,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    ocn = oc.join(nation, join_type="inner", num_partitions=8,
+                  on=("c_nationkey",), right_on=("n_nationkey",))
+    return agg.group_count(ocn, ["n_name"], alias="cnt")
+
+
+@q("lineitem_parts", """
+SELECT p_brand, count(*) AS cnt,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""")
+def lineitem_parts(sf_dir: str):
+    """J2 via the PORTABLE bucketed hash join (functions/join.py) — the
+    explicit fallback plan for when Dataset.join is unavailable."""
+    from ..functions.join import bucketed_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = bucketed_hash_join(li, part, left_on="l_partkey",
+                                right_on="p_partkey", num_buckets=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "p_brand": b["p_brand"],
+            "qty": pc.cast(b["l_quantity"], pa.int64()),
+        })
+        g = t.group_by(["p_brand"]).aggregate([([], "count_all"),
+                                               ("qty", "sum")])
+        return g.rename_columns(["p_brand", "p_cnt", "p_qty"])
+
+    from ray.data.aggregate import Sum
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("p_brand")
+            .aggregate(Sum("p_cnt", alias_name="cnt"),
+                       Sum("p_qty", alias_name="sum_qty")))
+
+
+@q("qty_quantiles", """
+SELECT quantile_disc(l_quantity, 0.25) AS q25,
+       quantile_disc(l_quantity, 0.50) AS q50,
+       quantile_disc(l_quantity, 0.75) AS q75,
+       quantile_disc(l_quantity, 0.95) AS q95
+FROM lineitem
+""")
+def qty_quantiles(sf_dir: str):
+    """EXACT distributed quantiles over a bounded domain (value-count CDF —
+    the shuffle carries counts, not rows)."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+    qs = agg.exact_quantiles_bounded(ds, "l_quantity",
+                                     [0.25, 0.50, 0.75, 0.95])
+    return pa.table({"q25": [qs[0.25]], "q50": [qs[0.50]],
+                     "q75": [qs[0.75]], "q95": [qs[0.95]]})

@@ -68,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         except RuntimeError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
+        summary.pop("stats", None)  # full per-stage stats live in _metrics/
         print(json.dumps(summary, sort_keys=True))
         return 0 if summary.get("conserved") else 1
     finally:

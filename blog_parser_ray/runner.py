@@ -137,6 +137,7 @@ def run(input_dir: str, out_dir: str, spec: PipelineSpec | None = None,
                 })
                 done_rows += sum(r["row_count"] for r in rs)
         summary["rows_written"] = done_rows
+        summary["stats"] = lineage_ds.stats()  # Ray Data per-stage breakdown
     summary["write_phase_s"] = round(time.monotonic() - t_start, 3)
 
     # ---- stage 8: aggregates over COMMITTED output (one read-back pass) ---

@@ -211,6 +211,35 @@ def distinct_count(ds: rd.Dataset, col: str) -> int:
             .unique(col).__len__())
 
 
+def exact_quantiles_bounded(ds: rd.Dataset, col: str,
+                            qs: list[float]) -> dict[float, float]:
+    """EXACT quantiles for a bounded discrete domain at any scale.
+
+    Per block: a value-count table (domain is small — e.g. token lengths
+    ≤ 4096, quantities ≤ 50); merge counts; read quantiles off the CDF.
+    Matches DuckDB ``quantile_disc``: sorted[floor((n-1)*q)]. The shuffle
+    moves only (distinct values × blocks) count rows — never data.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([col]).group_by([col])
+             .aggregate([([], "count_all")])
+             .rename_columns([col, "partial_rows"]))
+        return g
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(col).aggregate(Sum("partial_rows", alias_name="cnt"))
+              .to_pandas().sort_values(col))
+    values = counts[col].to_numpy()
+    cum = counts["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+    out = {}
+    for q in qs:
+        idx = int(np.floor((n - 1) * q))
+        out[q] = float(values[np.searchsorted(cum, idx + 1)])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # O1–O3: sort / limit / top-k
 # ---------------------------------------------------------------------------

@@ -82,3 +82,36 @@ def write_partition_sinks(table: pa.Table, out_dir: str, partition_id: int,
     for rec in lineage:
         rec["wall_s"] = round(wall, 6)
     return lineage
+
+
+def compact_sinks(out_dir: str, target_rows_per_file: int = 500_000) -> dict:
+    """Post-run compaction (SURVEY.md §4.3): per-sink file count is
+    O(partitions); after a run completes, coalesce each sink's part files
+    into ~target_rows_per_file files. Atomic per sink (write to a sibling
+    dir, swap). Run ONLY on a completed run — partition-suffixed files are
+    the resume unit, and compaction replaces them."""
+    import shutil
+
+    import ray.data as rd
+
+    sinks_root = os.path.join(out_dir, "sinks")
+    report = {}
+    for sink in sorted(os.listdir(sinks_root)):
+        src = os.path.join(sinks_root, sink)
+        if not os.path.isdir(src):
+            continue
+        n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+        tmp = src + ".compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds = rd.read_parquet(src)
+        n_rows = ds.count()  # metadata-only for parquet
+        n_blocks = max(1, -(-n_rows // target_rows_per_file))
+        ds.repartition(n_blocks).write_parquet(tmp, compression="none")
+        old = src + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(src, old)
+        os.replace(tmp, src)
+        shutil.rmtree(old, ignore_errors=True)
+        n_after = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+        report[sink] = {"files_before": n_before, "files_after": n_after}
+    return report

@@ -1,0 +1,68 @@
+"""Bucketed hash join, exact bounded quantiles, sink compaction."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from blog_parser_ray.functions.join import bucketed_hash_join
+from blog_parser_ray.stages.agg import exact_quantiles_bounded
+from blog_parser_ray.stages.sink import compact_sinks
+
+
+def test_bucketed_join_matches_pandas():
+    rng = np.random.default_rng(2)
+    left = pa.table({"k": pa.array(rng.integers(0, 50, 2000), type=pa.int64()),
+                     "lv": pa.array(np.arange(2000), type=pa.int64())})
+    right = pa.table({"rk": pa.array(np.arange(0, 60), type=pa.int64()),
+                      "rv": pa.array(np.arange(60) * 10, type=pa.int64())})
+    out = bucketed_hash_join(rd.from_arrow(left).repartition(4),
+                             rd.from_arrow(right).repartition(2),
+                             left_on="k", right_on="rk",
+                             num_buckets=8).to_pandas()
+    expect = left.to_pandas().merge(right.to_pandas(), left_on="k",
+                                    right_on="rk")
+    assert len(out) == len(expect)
+    got = out.sort_values(["lv"]).reset_index(drop=True)
+    want = expect.sort_values(["lv"]).reset_index(drop=True)
+    assert (got["rv"].to_numpy() == want["rv"].to_numpy()).all()
+
+
+def test_bucketed_join_rejects_overlap():
+    import pytest
+    t = pa.table({"k": [1], "v": [2]})
+    with pytest.raises(ValueError, match="rename"):
+        bucketed_hash_join(rd.from_arrow(t), rd.from_arrow(t),
+                           left_on="k", right_on="k")
+
+
+def test_exact_quantiles_match_numpy():
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 100, 10_000)
+    t = pa.table({"v": pa.array(vals, type=pa.int64())})
+    qs = exact_quantiles_bounded(rd.from_arrow(t).repartition(8), "v",
+                                 [0.1, 0.5, 0.9])
+    s = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        assert qs[q] == float(s[int(np.floor((len(s) - 1) * q))])
+
+
+def test_compact_sinks(tmp_path):
+    out = str(tmp_path / "out")
+    for sink in ("a", "b"):
+        d = os.path.join(out, "sinks", sink)
+        os.makedirs(d)
+        for i in range(6):
+            pq.write_table(pa.table({"x": pa.array(range(i * 10, i * 10 + 10),
+                                                   type=pa.int64())}),
+                           os.path.join(d, f"part-{i:06d}.parquet"))
+    before = rd.read_parquet(os.path.join(out, "sinks")).to_pandas()
+    report = compact_sinks(out, target_rows_per_file=100)
+    after = rd.read_parquet(os.path.join(out, "sinks")).to_pandas()
+    assert sorted(before["x"]) == sorted(after["x"])
+    for sink in ("a", "b"):
+        assert report[sink]["files_after"] < report[sink]["files_before"]
