@@ -62,6 +62,36 @@ def exact_dedup(ds: rd.Dataset, content_col: str = "text",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def exact_dedup_tokens(ds: rd.Dataset, tokens_col: str = "tokens",
+                       key_col: str = "doc_id") -> rd.Dataset:
+    """U4 over the flagship payload: dedup by token-array content.
+
+    Same two-phase winner plan as ``exact_dedup`` but the content hash is a
+    vectorized order-sensitive hash of the list<int32> column
+    (hashing.hash_token_lists) — the token payload itself never shuffles.
+    """
+    from ..hashing import hash_token_lists
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = hash_token_lists(batch[tokens_col])
+        t = pa.table({"h": pa.array(h.astype(np.int64)),
+                      key_col: batch[key_col]})
+        g = t.group_by("h").aggregate([(key_col, "min")])
+        return g.rename_columns(["h", "winner"])
+
+    winners_ds = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("h").aggregate(Min("winner", alias_name="winner")))
+    winners = pa.concat_tables(
+        [ray.get(r) for r in winners_ds.to_arrow_refs()])["winner"]
+    winner_ref = ray.put(winners.combine_chunks())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ws = ray.get(winner_ref)
+        return batch.filter(pc.is_in(batch[key_col], value_set=ws))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (near-dup candidates) and n-gram Jaccard (verify)
 # ---------------------------------------------------------------------------
@@ -231,7 +261,6 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
     def explode_bands(batch: pa.Table) -> pa.Table:
         sh = batch["simhash"].to_numpy().astype(np.uint64)
         n = len(sh)
-        out_band = np.repeat(np.arange(4, dtype=np.int32), 1)[None, :]
         bands = np.tile(np.arange(4, dtype=np.int32), n)
         chunks = np.concatenate([
             ((sh >> np.uint64(16 * i)) & np.uint64(0xFFFF))[:, None]

@@ -43,6 +43,36 @@ def stable_hash_one(value: str) -> int:
     return int(stable_hash_strings([value])[0])
 
 
+def hash_token_lists(tokens) -> np.ndarray:
+    """Order-sensitive uint64 hash per row of a list<int32> column.
+
+    Vectorized over the flat values buffer: mix(value, position) XOR-reduced
+    per row, finalized with the row length — one pass, O(rows) output.
+    Correct for sliced arrays (absolute offsets) and empty rows.
+    """
+    import pyarrow as pa
+
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offsets = tokens.offsets.to_numpy().astype(np.int64)
+    values = tokens.values.to_numpy()
+    n = len(offsets) - 1
+    lo, hi = offsets[0], offsets[-1]
+    lengths = offsets[1:] - offsets[:-1]
+    vals = values[lo:hi].astype(np.uint64)
+    pos = (np.arange(hi - lo, dtype=np.uint64)
+           - np.repeat((offsets[:-1] - lo).astype(np.uint64), lengths))
+    with np.errstate(over="ignore"):
+        mixed = stable_hash_ints(vals * np.uint64(0x9E3779B97F4A7C15)
+                                 + pos * np.uint64(0xBF58476D1CE4E5B9))
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = lengths > 0
+    if mixed.size:
+        starts = (offsets[:-1] - lo)[nonempty]
+        out[nonempty] = np.bitwise_xor.reduceat(mixed, starts)
+    return stable_hash_ints(out ^ lengths.astype(np.uint64))
+
+
 def salt_column(keys, num_salts: int) -> np.ndarray:
     """int32 salt in [0, num_salts) from a string key column (SURVEY.md §4.3)."""
     return (stable_hash_strings(keys) % np.uint64(num_salts)).astype(np.int32)

@@ -221,11 +221,13 @@ SELECT event_id, user_id, event_type, value
 FROM events WHERE event_type = 'click' AND value > 10
 """)
 def filter_events(sf_dir: str):
-    """P4 vectorized predicate filter."""
-    return (_read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
-            .map_batches(lambda b: b.filter(
-                pc.and_(pc.equal(b["event_type"], "click"),
-                        pc.greater(b["value"], 10.0))), batch_format="pyarrow"))
+    """P4 predicate filter, pushed down to the parquet READ (row-group
+    pruning + scan-level filtering — rows never enter the object store)."""
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+        filter=((pc.field("event_type") == "click")
+                & (pc.field("value") > 10.0)))
 
 
 @q("project", """
@@ -938,3 +940,26 @@ def qty_quantiles(sf_dir: str):
                                      [0.25, 0.50, 0.75, 0.95])
     return pa.table({"q25": [qs[0.25]], "q50": [qs[0.50]],
                      "q75": [qs[0.75]], "q95": [qs[0.95]]})
+
+
+@q("dedup_sequences", """
+WITH seqt AS (
+  SELECT source || '/2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || '/' || CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 3 AS INTEGER)
+           AS n_tok,
+         source, text
+  FROM documents)
+SELECT doc_id, source, n_tok FROM seqt
+WHERE doc_id IN (SELECT min(doc_id) FROM seqt GROUP BY text)
+""")
+def dedup_sequences(sf_dir: str):
+    """U4 on the flagship payload: dedup by TOKEN-ARRAY content.
+
+    Cross-representation oracle: the engine hashes token lists
+    (hashing.hash_token_lists); the SQL groups by the source TEXT — equal
+    because the bridge tokenization is a bijection on documents.text."""
+    from ..functions.dedup import exact_dedup_tokens
+
+    return (exact_dedup_tokens(_seq_ds(sf_dir))
+            .select_columns(["doc_id", "source", "n_tok"]))
