@@ -963,3 +963,31 @@ def dedup_sequences(sf_dir: str):
 
     return (exact_dedup_tokens(_seq_ds(sf_dir))
             .select_columns(["doc_id", "source", "n_tok"]))
+
+
+@q("sliding_3h", """
+SELECT date_trunc('hour', ts) - to_hours(h) AS win_start, count(*) AS cnt
+FROM events CROSS JOIN (VALUES (0), (1), (2)) offs(h)
+GROUP BY 1
+""")
+def sliding_3h(sf_dir: str):
+    """W4 sliding/hopping window: 3-hour windows hopping hourly — each event
+    lands in 3 windows. Engine: vectorized explode of window starts inside
+    map_batches, then the two-phase count (no row ever shuffles; only
+    (window, partial-count) rows do)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        hrs = hour.to_numpy(zero_copy_only=False)
+        starts = np.concatenate([hrs, hrs - np.timedelta64(1, "h"),
+                                 hrs - np.timedelta64(2, "h")])
+        t = pa.table({"win_start": pa.array(starts,
+                                            type=pa.timestamp("us"))})
+        g = t.group_by(["win_start"]).aggregate([([], "count_all")])
+        return g.rename_columns(["win_start", "partial_rows"])
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("win_start")
+            .aggregate(Sum("partial_rows", alias_name="cnt")))

@@ -92,6 +92,9 @@ def run(input_dir: str, out_dir: str, spec: PipelineSpec | None = None,
     manifest = Manifest(out_dir)
 
     plan = plan_partitions(input_dir, target_rows=spec.target_partition_rows)
+    if not plan:
+        raise FileNotFoundError(
+            f"no parquet input under {input_dir} (nothing to plan)")
     committed = manifest.committed() if resume else {}
     if not resume and manifest.committed():
         raise RuntimeError(

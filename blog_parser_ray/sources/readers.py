@@ -43,6 +43,22 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                            columns=columns, **kwargs)
 
 
+def read_any(path: str, fmt: str | None = None, **kwargs) -> rd.Dataset:
+    """Generic source dispatch: parquet / csv / json(l) / text by extension
+    (the reference walked a directory of files; this is the engine-side
+    equivalent for whatever lands in the lake)."""
+    fmt = fmt or os.path.splitext(path.rstrip("/"))[1].lstrip(".").lower()
+    if fmt in ("parquet", ""):
+        return rd.read_parquet(path, **kwargs)
+    if fmt == "csv":
+        return rd.read_csv(path, **kwargs)
+    if fmt in ("json", "jsonl", "ndjson"):
+        return rd.read_json(path, **kwargs)
+    if fmt in ("txt", "text"):
+        return rd.read_text(path, **kwargs)
+    raise ValueError(f"unsupported source format: {fmt!r}")
+
+
 # ---------------------------------------------------------------------------
 # Partition planner
 # ---------------------------------------------------------------------------
