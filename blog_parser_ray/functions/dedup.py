@@ -348,3 +348,163 @@ def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
                          "cosine": pa.array([], pa.float64())})
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Token-level MinHash (U5 on the flagship payload) — fully vectorized
+# ---------------------------------------------------------------------------
+
+_SH_C = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+         np.uint64(0x165667B19E3779F9))
+
+
+def token_shingle_hashes(tokens, k: int = 3):
+    """(flat shingle hashes, absolute row starts into them, rows) for a
+    list<int32> column — one vectorized pass, no per-row Python.
+
+    Rows with fewer than k tokens get ONE shingle (the whole-row hash);
+    empty rows get zero shingles.
+    """
+    from ..hashing import hash_token_lists, stable_hash_ints
+
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offsets = tokens.offsets.to_numpy().astype(np.int64)
+    values = tokens.values.to_numpy()
+    n = len(offsets) - 1
+    lo, hi = offsets[0], offsets[-1]
+    lengths = offsets[1:] - offsets[:-1]
+    vals = values[lo:hi].astype(np.uint64)
+
+    with np.errstate(over="ignore"):
+        win = np.zeros(max(len(vals) - k + 1, 0), dtype=np.uint64)
+        for j in range(k):
+            win += vals[j:len(vals) - k + 1 + j] * _SH_C[j]
+        win = stable_hash_ints(win)
+    # a window starting at flat pos i is valid iff it stays inside its row
+    pos = (np.arange(hi - lo, dtype=np.int64)
+           - np.repeat(offsets[:-1] - lo, lengths))
+    valid = np.zeros(hi - lo, dtype=bool)
+    if len(win):
+        valid[:len(win)] = pos[:len(win)] <= np.repeat(lengths - k, lengths
+                                                       )[:len(win)]
+
+    n_shingles = np.maximum(lengths - k + 1, 0)
+    short = (lengths > 0) & (lengths < k)
+    n_out = np.where(short, 1, n_shingles)
+    out = np.empty(int(n_out.sum()), dtype=np.uint64)
+    starts = np.concatenate([[0], np.cumsum(n_out)])[:-1]
+    # scatter full-window shingles row-contiguously
+    full_rows = np.nonzero(n_shingles > 0)[0]
+    if len(full_rows):
+        idx = (np.arange(int(n_shingles[full_rows].sum()), dtype=np.int64)
+               - np.repeat(np.concatenate([[0], np.cumsum(
+                   n_shingles[full_rows])])[:-1], n_shingles[full_rows]))
+        src = np.repeat((offsets[:-1] - lo)[full_rows],
+                        n_shingles[full_rows]) + idx
+        dst = np.repeat(starts[full_rows], n_shingles[full_rows]) + idx
+        out[dst] = win[src]
+    if short.any():
+        out[starts[short]] = hash_token_lists(tokens)[short]
+    return out, starts, n_out
+
+
+class TokenMinHasher:
+    """Actor-pool MinHash over token shingles — signatures via ONE
+    ``np.minimum.reduceat`` per corpus chunk (no per-row loops). Use modest
+    ``batch_size`` (≤4096): the perm matrix is (shingles × num_perm)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3):
+        assert num_perm % bands == 0
+        self.num_perm, self.bands, self.k = num_perm, bands, k
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..hashing import stable_hash_ints
+
+        sh, starts, n_out = token_shingle_hashes(batch["tokens"], self.k)
+        n = batch.num_rows
+        nonempty = n_out > 0
+        with np.errstate(over="ignore"):
+            m = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        sig = np.full((n, self.num_perm), _MERSENNE, dtype=np.uint64)
+        if len(sh):
+            sig[nonempty] = np.minimum.reduceat(m, starts[nonempty], axis=0)
+        # fold each band's perm minima into one band hash
+        doc_ids, bands_col, hashes = [], [], []
+        rpb = self.rows_per_band
+        band_hash = np.zeros((n, self.bands), dtype=np.uint64)
+        for band in range(self.bands):
+            acc = sig[:, band * rpb].copy()
+            for j in range(1, rpb):
+                with np.errstate(over="ignore"):
+                    acc = stable_hash_ints(acc * np.uint64(0x100000001B3)
+                                           ^ sig[:, band * rpb + j])
+            band_hash[:, band] = acc
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=object),
+                                         self.bands), type=pa.string()),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array((band_hash.reshape(-1)
+                                   >> np.uint64(1)).astype(np.int64)),
+        })
+
+
+def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
+                               num_perm: int = 64, bands: int = 16,
+                               k: int = 3) -> pa.Table:
+    """U5 on the flagship payload: near-dup pairs by token-shingle Jaccard.
+
+    Candidates from the LSH band groupby; verification computes exact shingle
+    Jaccard for candidate docs only (gathered via a broadcast id filter —
+    candidates ≪ corpus is LSH's contract)."""
+    sig = ds.map_batches(TokenMinHasher,
+                         fn_constructor_kwargs=dict(num_perm=num_perm,
+                                                    bands=bands, k=k),
+                         batch_format="pyarrow", batch_size=2048,
+                         concurrency=(1, 4), num_cpus=1)
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"a": pa.array(a, type=pa.string()),
+                         "b": pa.array(b, type=pa.string())})
+
+    cand = (sig.groupby(["band", "band_hash"])
+            .map_groups(pairs_in_bucket, batch_format="pyarrow"))
+    pairs = sorted({(r["a"], r["b"]) for r in cand.to_pandas().to_dict("records")})
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not pairs:
+        return empty
+    need = {x for p in pairs for x in p}
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["doc_id"],
+                        value_set=pa.array(sorted(need), type=pa.string()))
+        return batch.filter(mask).select(["doc_id", "tokens"])
+
+    shingle_sets: dict[str, set] = {}
+    for bt in [b for b in ds.map_batches(project, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")]:
+        sh, starts, n_out = token_shingle_hashes(bt["tokens"], k)
+        ends = starts + n_out
+        for i, d in enumerate(bt["doc_id"].to_pylist()):
+            shingle_sets[d] = set(sh[starts[i]:ends[i]].tolist())
+
+    out = []
+    for a, b in pairs:
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 1.0
+        if j >= threshold:
+            out.append({"a": a, "b": b, "jaccard": round(j, 4)})
+    out.sort(key=lambda r: (r["a"], r["b"]))
+    return pa.Table.from_pylist(out) if out else empty

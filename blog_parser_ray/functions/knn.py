@@ -106,3 +106,70 @@ def lsh_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
 
     filtered = ds.map_batches(filter_buckets, batch_format="pyarrow")
     return brute_force_topk(filtered, query, k, col, id_col)
+
+
+class IVFIndex:
+    """IVF coarse quantizer: k-means centroids trained driver-side on a
+    seeded sample, assignment vectorized per batch (actor-pool stage shape).
+
+    The 100 TB path: train on a ``random_sample`` of the corpus (centroids
+    are tiny), broadcast centroids, assign every vector to its nearest
+    centroid in map_batches, and at query time score ONLY the vectors in the
+    ``nprobe`` nearest clusters — the candidate set shrinks by
+    ~n_clusters/nprobe versus brute force.
+    """
+
+    def __init__(self, centroids: np.ndarray) -> None:
+        self.centroids = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @classmethod
+    def train(cls, sample: np.ndarray, n_clusters: int = 16,
+              n_iter: int = 10, seed: int = 11) -> "IVFIndex":
+        rng = np.random.default_rng(seed)
+        X = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                                1e-12)
+        cents = X[rng.choice(len(X), size=min(n_clusters, len(X)),
+                             replace=False)]
+        for _ in range(n_iter):
+            assign = (X @ cents.T).argmax(axis=1)
+            for c in range(len(cents)):
+                members = X[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                    cents[c] /= max(np.linalg.norm(cents[c]), 1e-12)
+        return cls(cents)
+
+    def assign(self, M: np.ndarray) -> np.ndarray:
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return (Mn @ self.centroids.T).argmax(axis=1)
+
+
+def ivf_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
+             n_clusters: int = 16, nprobe: int = 4,
+             sample_frac: float = 0.25, seed: int = 11,
+             col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    """IVF ANN top-k: train coarse centroids on a seeded sample, score only
+    the ``nprobe`` clusters nearest the query. Recall < 1 by design."""
+    sample_rows = ds.random_sample(sample_frac, seed=seed).take_all()
+    sample = np.array([r[col] for r in sample_rows], dtype=np.float64)
+    index = IVFIndex.train(sample, n_clusters=n_clusters, seed=seed)
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = set(np.argsort(-(index.centroids @ qn))[:nprobe].tolist())
+    idx_ref = ray.put(index)
+    probe_ref = ray.put(probe)
+
+    def filter_clusters(batch: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        pr = ray.get(probe_ref)
+        M = _embedding_matrix(batch, col)
+        if M.shape[0] == 0:
+            return batch
+        mask = np.isin(ix.assign(M), np.fromiter(pr, dtype=np.int64))
+        return batch.filter(pa.array(mask))
+
+    return brute_force_topk(ds.map_batches(filter_clusters,
+                                           batch_format="pyarrow"),
+                            query, k, col, id_col)

@@ -991,3 +991,27 @@ def sliding_3h(sf_dir: str):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("win_start")
             .aggregate(Sum("partial_rows", alias_name="cnt")))
+
+
+@q("dedup_minhash_tokens")  # rows-only: LSH over token shingles
+def dedup_minhash_tokens(sf_dir: str):
+    """U5 on the flagship payload: near-dup sequence pairs by token-shingle
+    Jaccard (vectorized MinHash; functions/dedup.py TokenMinHasher)."""
+    from ..functions.dedup import minhash_dedup_pairs_tokens
+
+    return minhash_dedup_pairs_tokens(_seq_ds(sf_dir), threshold=0.5)
+
+
+@q("knn_ivf")  # rows-only: ANN (recall<1 by design)
+def knn_ivf(sf_dir: str):
+    """IVF ANN: coarse k-means clusters from a seeded sample, probe the
+    nearest clusters only (functions/knn.py IVFIndex)."""
+    import pyarrow.parquet as pq
+    from ..functions.knn import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qvec = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))
+                      ["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, qvec, k=10, n_clusters=8, nprobe=3)

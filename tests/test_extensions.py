@@ -127,3 +127,56 @@ def test_sample_deterministic():
     a = sorted(r["id"] for r in ds.random_sample(0.1, seed=42).take_all())
     b = sorted(r["id"] for r in rd.range(1000).random_sample(0.1, seed=42).take_all())
     assert a == b
+
+
+def test_token_minhash_finds_planted_pairs():
+    import pyarrow as pa
+    from blog_parser_ray import schema as S
+    from blog_parser_ray.functions.dedup import (minhash_dedup_pairs_tokens,
+                                                 token_shingle_hashes)
+
+    rng = np.random.default_rng(12)
+    rows = []
+    for i in range(25):
+        inner = rng.integers(3, 34, size=40).tolist()
+        rows.append((f"doc{i:03d}", [0] + inner + [1]))
+    # planted: exact dup of doc000; near dup of doc001 (one token changed)
+    rows.append(("doc100", list(rows[0][1])))
+    near = list(rows[1][1]); near[10] = 33 if near[10] != 33 else 32
+    rows.append(("doc101", near))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "tokens": pa.array([r[1] for r in rows], type=S.TOKENS_TYPE),
+    })
+    pairs = minhash_dedup_pairs_tokens(rd.from_arrow(t), threshold=0.5)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.to_pylist()}
+    assert got.get(("doc000", "doc100")) == 1.0
+    assert ("doc001", "doc101") in got and got[("doc001", "doc101")] >= 0.5
+
+    # vectorized shingles == per-row python reference
+    sh, starts, n_out = token_shingle_hashes(t["tokens"], 3)
+    import numpy as _np
+    from blog_parser_ray.hashing import stable_hash_ints
+    for i, (_d, toks) in enumerate(rows[:5]):
+        ref = []
+        for j in range(len(toks) - 2):
+            acc = (_np.uint64(toks[j]) * _np.uint64(0x9E3779B97F4A7C15)
+                   + _np.uint64(toks[j + 1]) * _np.uint64(0xC2B2AE3D27D4EB4F)
+                   + _np.uint64(toks[j + 2]) * _np.uint64(0x165667B19E3779F9))
+            ref.append(int(stable_hash_ints(_np.array([acc]))[0]))
+        assert sh[starts[i]:starts[i] + n_out[i]].tolist() == ref
+
+
+def test_ivf_topk_overlaps_brute_force():
+    rng = np.random.default_rng(9)
+    M = rng.standard_normal((300, 16))
+    t = pa.table({"vec_id": pa.array(range(300), type=pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in M],
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    q = M[11]
+    bf = knn.brute_force_topk(ds, q, k=10).to_pylist()
+    ivf = knn.ivf_topk(ds, q, k=10, n_clusters=8, nprobe=4).to_pylist()
+    assert ivf and ivf[0]["vec_id"] == 11
+    overlap = {r["vec_id"] for r in ivf} & {r["vec_id"] for r in bf}
+    assert len(overlap) >= 4
