@@ -35,17 +35,15 @@ from ..hashing import stable_hash_strings
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds: rd.Dataset, content_col: str = "text",
-                key_col: str = "doc_id") -> rd.Dataset:
-    """Keep the min-``key_col`` row per distinct ``content_col`` value.
-
-    Deterministic winner; matches SQL
-    ``WHERE key IN (SELECT min(key) FROM t GROUP BY content)``.
-    """
+def _dedup_by_hash(ds: rd.Dataset, hash_fn, key_col: str) -> rd.Dataset:
+    """Two-phase winner dedup: per-block (content-hash, min key) partials →
+    tiny groupby → broadcast winner-key filter. Only (hash, key) pairs ever
+    shuffle; full rows never do."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        h = stable_hash_strings(batch[content_col])
-        t = pa.table({"h": pa.array(h.astype(np.int64)), key_col: batch[key_col]})
+        h = hash_fn(batch)
+        t = pa.table({"h": pa.array(h.astype(np.int64)),
+                      key_col: batch[key_col]})
         g = t.group_by("h").aggregate([(key_col, "min")])
         return g.rename_columns(["h", "winner"])
 
@@ -62,34 +60,26 @@ def exact_dedup(ds: rd.Dataset, content_col: str = "text",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def exact_dedup(ds: rd.Dataset, content_col: str = "text",
+                key_col: str = "doc_id") -> rd.Dataset:
+    """U4: keep the min-``key_col`` row per distinct ``content_col`` value.
+
+    Deterministic winner; matches SQL
+    ``WHERE key IN (SELECT min(key) FROM t GROUP BY content)``.
+    """
+    return _dedup_by_hash(
+        ds, lambda b: stable_hash_strings(b[content_col]), key_col)
+
+
 def exact_dedup_tokens(ds: rd.Dataset, tokens_col: str = "tokens",
                        key_col: str = "doc_id") -> rd.Dataset:
-    """U4 over the flagship payload: dedup by token-array content.
-
-    Same two-phase winner plan as ``exact_dedup`` but the content hash is a
-    vectorized order-sensitive hash of the list<int32> column
-    (hashing.hash_token_lists) — the token payload itself never shuffles.
-    """
+    """U4 over the flagship payload: dedup by token-array content, hashed
+    with the vectorized order-sensitive list hash (hashing.hash_token_lists)
+    — the token payload itself never shuffles."""
     from ..hashing import hash_token_lists
 
-    def partial(batch: pa.Table) -> pa.Table:
-        h = hash_token_lists(batch[tokens_col])
-        t = pa.table({"h": pa.array(h.astype(np.int64)),
-                      key_col: batch[key_col]})
-        g = t.group_by("h").aggregate([(key_col, "min")])
-        return g.rename_columns(["h", "winner"])
-
-    winners_ds = (ds.map_batches(partial, batch_format="pyarrow")
-                  .groupby("h").aggregate(Min("winner", alias_name="winner")))
-    winners = pa.concat_tables(
-        [ray.get(r) for r in winners_ds.to_arrow_refs()])["winner"]
-    winner_ref = ray.put(winners.combine_chunks())
-
-    def keep(batch: pa.Table) -> pa.Table:
-        ws = ray.get(winner_ref)
-        return batch.filter(pc.is_in(batch[key_col], value_set=ws))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return _dedup_by_hash(ds, lambda b: hash_token_lists(b[tokens_col]),
+                          key_col)
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,21 @@ def _bucket_col(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
         "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
 
 
+def equi_join(left: rd.Dataset, right: rd.Dataset, *, left_on: str,
+              right_on: str, num_partitions: int = 8,
+              how: str = "inner") -> rd.Dataset:
+    """Equi-join with graceful degradation: native ``Dataset.join`` (Ray
+    ≥2.46) when present/compatible, else the portable bucketed plan below —
+    one interface per SURVEY.md §7.4 item 6."""
+    try:
+        return left.join(right, join_type=how, num_partitions=num_partitions,
+                         on=(left_on,), right_on=(right_on,))
+    except (AttributeError, TypeError):
+        return bucketed_hash_join(left, right, left_on=left_on,
+                                  right_on=right_on,
+                                  num_buckets=num_partitions * 4, how=how)
+
+
 def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, *,
                        left_on: str, right_on: str,
                        num_buckets: int = 32,

@@ -276,10 +276,12 @@ GROUP BY c_mktsegment
 """)
 def orders_customers(sf_dir: str):
     """J2 hash join (Dataset.join) + A6 grouped aggregate."""
+    from ..functions.join import equi_join
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
-                         on=("o_custkey",), right_on=("c_custkey",))
+    joined = equi_join(orders, cust, left_on="o_custkey",
+                       right_on="c_custkey", num_partitions=8)
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({"c_mktsegment": b["c_mktsegment"],
@@ -883,13 +885,14 @@ GROUP BY n_name
 """)
 def orders_by_nation(sf_dir: str):
     """Chained hash joins (J2 ×2): orders ⋈ customer ⋈ nation → counts."""
+    from ..functions.join import equi_join
+
     orders = _read(sf_dir, "orders", ["o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    oc = orders.join(cust, join_type="inner", num_partitions=8,
-                     on=("o_custkey",), right_on=("c_custkey",))
-    ocn = oc.join(nation, join_type="inner", num_partitions=8,
-                  on=("c_nationkey",), right_on=("n_nationkey",))
+    oc = equi_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+    ocn = equi_join(oc, nation, left_on="c_nationkey",
+                    right_on="n_nationkey")
     return agg.group_count(ocn, ["n_name"], alias="cnt")
 
 

@@ -74,3 +74,36 @@ def test_udf_stage_hook():
     t = synth.synth_table(np.arange(100), seed=1)
     out = rd.from_arrow(t).map_batches(my_udf, batch_format="pyarrow").to_pandas()
     assert (out["double_ntok"] == out["n_tok"] * 2).all()
+
+
+def test_cli_config_end_to_end(tmp_path):
+    """--config JSON drives a real CLI run in a fresh process (custom router
+    rules visible in the output sink layout)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    t = synth.synth_table(np.arange(3000), seed=2)
+    pq.write_table(t, str(corpus / "c.parquet"), row_group_size=1000)
+    cfg = {"router": {
+        "default_sink": "everything_else",
+        "rules": [{"sink": "quarantine", "when": [
+            {"column": "parse_class", "op": "ne", "value": "ok"}]}],
+    }}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "blog_parser_ray.run", "--input", str(corpus),
+         "--output", str(out), "--config", str(cfg_path), "--cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["conserved"]
+    sinks = sorted(os.listdir(out / "sinks"))
+    assert sinks == ["everything_else", "quarantine"]

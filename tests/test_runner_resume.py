@@ -174,3 +174,27 @@ def test_kill_and_resume(corpus, tmp_path):
     for g, w in zip(got, want):
         assert g["doc_id"] == w["doc_id"] and g["sink"] == w["sink"]
         assert g["tokens"] == w["tokens"]
+
+
+def test_aggregates_byte_identical_across_reruns(corpus, tmp_path):
+    """SURVEY.md §5.4: re-running (resume no-op) leaves byte-identical
+    aggregate files — the aggregate step is a pure function of committed
+    output."""
+    out = str(tmp_path / "out")
+    spec = PipelineSpec(target_partition_rows=3000)
+    runner.run(corpus, out, spec)
+
+    def agg_bytes():
+        blobs = {}
+        for root, _d, files in os.walk(os.path.join(out, "_aggregates")):
+            for f in sorted(files):
+                with open(os.path.join(root, f), "rb") as fh:
+                    blobs[os.path.join(os.path.basename(root), f)] = fh.read()
+        return blobs
+
+    first = agg_bytes()
+    runner.run(corpus, out, spec, resume=True)
+    second = agg_bytes()
+    assert first.keys() == second.keys()
+    for k in first:
+        assert first[k] == second[k], f"aggregate file {k} changed bytes"
