@@ -105,45 +105,99 @@ def _perm_params(num_perm: int, seed: int = 7):
     return a, b
 
 
-class MinHasher:
-    """Actor-pool stage: permutation params built once per actor.
+def _band_rows(sh, starts, n_out, ids, id_type, num_perm, bands, a, b):
+    """Shared MinHash → LSH band-row emitter (fully vectorized):
+    per-row signature via one ``np.minimum.reduceat`` over the perm matrix,
+    band hashes by folding each band's minima."""
+    from ..hashing import stable_hash_ints
 
-    Emits (doc_id, band:int32, band_hash:int64) rows — ``bands`` rows per doc
-    — ready for the LSH bucket groupby."""
+    n = len(n_out)
+    nonempty = n_out > 0
+    with np.errstate(over="ignore"):
+        m = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+    sig = np.full((n, num_perm), _MERSENNE, dtype=np.uint64)
+    if len(sh):
+        sig[nonempty] = np.minimum.reduceat(m, starts[nonempty], axis=0)
+    rpb = num_perm // bands
+    band_hash = np.zeros((n, bands), dtype=np.uint64)
+    for band in range(bands):
+        acc = sig[:, band * rpb].copy()
+        for j in range(1, rpb):
+            with np.errstate(over="ignore"):
+                acc = stable_hash_ints(acc * np.uint64(0x100000001B3)
+                                       ^ sig[:, band * rpb + j])
+        band_hash[:, band] = acc
+    return pa.table({
+        "doc_id": pc.take(pa.array(ids, type=id_type),
+                          pa.array(np.repeat(np.arange(n), bands))),
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array((band_hash.reshape(-1)
+                               >> np.uint64(1)).astype(np.int64)),
+    })
+
+
+class MinHasher:
+    """Actor-pool text-MinHash stage: permutation params built once per
+    actor; signatures fully vectorized over word-shingle hashes. Emits
+    (doc_id, band:int32, band_hash:int64) rows — ``bands`` rows per doc —
+    ready for the LSH bucket groupby."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3,
                  text_col: str = "text") -> None:
         assert num_perm % bands == 0
         self.num_perm, self.bands, self.k = num_perm, bands, k
-        self.rows_per_band = num_perm // bands
         self.a, self.b = _perm_params(num_perm)
         self.text_col = text_col
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        if sh.size == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            m = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        return m.min(axis=0)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, bands, band_hashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch[self.text_col].to_pylist()):
-            sig = self.signature(text)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                bh = int(stable_hash_strings(
-                    ["|".join(map(str, chunk.tolist()))])[0] >> np.uint64(1))
-                doc_ids.append(doc_id)
-                bands.append(band)
-                band_hashes.append(bh)
-        return pa.table({
-            "doc_id": pa.array(doc_ids),
-            "band": pa.array(bands, type=pa.int32()),
-            "band_hash": pa.array(band_hashes, type=pa.int64()),
-        })
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sh, starts, n_out = text_shingle_hashes(text, self.k)
+        return _band_rows(sh, starts, n_out, batch["doc_id"].to_pylist(),
+                          batch["doc_id"].type, self.num_perm, self.bands,
+                          self.a, self.b)
+
+
+def _lsh_candidate_pairs(sig: rd.Dataset) -> list[tuple]:
+    """Band rows → unordered candidate pairs (a < b), without a per-bucket
+    map_groups (80k tiny groups cost more than the data): a vectorized
+    two-phase bucket COUNT finds colliding buckets, a broadcast is_in filter
+    keeps only their rows (small, by LSH's contract), and pair expansion runs
+    driver-side on the survivors."""
+    import pandas as pd
+    from ..hashing import stable_hash_ints
+    from ..stages.agg import group_count
+
+    def key_col(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy().astype(np.uint64)
+        band = batch["band"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = stable_hash_ints(bh ^ (band * np.uint64(0x9E3779B97F4A7C15)))
+        return pa.table({"key": pa.array(key.astype(np.int64)),
+                         "doc_id": batch["doc_id"]})
+
+    # the band-row index (2 small cols × bands-per-doc rows) is consumed
+    # twice (count, then filter); materialize so signatures compute once.
+    # It is ~1% of corpus bytes — object-store-resident and spillable.
+    keyed = sig.map_batches(key_col, batch_format="pyarrow").materialize()
+    counts = group_count(keyed, ["key"], alias="c").to_pandas()
+    hot = counts.loc[counts["c"] > 1, "key"].to_numpy()
+    if len(hot) == 0:
+        return []
+    hot_arr = ray.put(pa.array(np.sort(hot)))
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["key"], value_set=ray.get(hot_arr)))
+
+    cand = keyed.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    pairs: set = set()
+    for _k, g in cand.groupby("key"):
+        ids = sorted(set(g["doc_id"]))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return sorted(pairs)
 
 
 def minhash_candidates(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
@@ -154,26 +208,16 @@ def minhash_candidates(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                                                     bands=bands, k=k,
                                                     text_col=text_col),
                          batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
-
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pa.table({"a": pa.array(out_a, type=group["doc_id"].type),
-                         "b": pa.array(out_b, type=group["doc_id"].type)})
-
-    cand = (sig.groupby(["band", "band_hash"])
-            .map_groups(pairs_in_bucket, batch_format="pyarrow"))
-    pairs = {(r["a"], r["b"]) for r in cand.to_pandas().to_dict("records")}
-    return sorted(pairs)
+    return _lsh_candidate_pairs(sig)
 
 
 def ngram_jaccard(texts: dict, pairs: list[tuple], k: int = 3) -> list[dict]:
     """Exact k-shingle Jaccard for candidate pairs (the verify stage)."""
-    cache = {d: set(_shingle_hashes(t, k).tolist()) for d, t in texts.items()}
+    ids = sorted(texts)
+    sh, starts, n_out = text_shingle_hashes(
+        pa.array([texts[d] for d in ids], type=pa.string()), k)
+    cache = {d: set(sh[starts[i]:starts[i] + n_out[i]].tolist())
+             for i, d in enumerate(ids)}
     out = []
     for a, b in pairs:
         sa, sb = cache[a], cache[b]
@@ -348,55 +392,74 @@ _SH_C = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
          np.uint64(0x165667B19E3779F9))
 
 
-def token_shingle_hashes(tokens, k: int = 3):
-    """(flat shingle hashes, absolute row starts into them, rows) for a
-    list<int32> column — one vectorized pass, no per-row Python.
+def _window_shingles(flat: np.ndarray, rel_offsets: np.ndarray, k: int,
+                     short_fallback: np.ndarray):
+    """Generic k-window shingle hashing over a flat uint64 buffer with row
+    offsets (relative, starting at 0). Rows with 0 < len < k get ONE shingle
+    from ``short_fallback``; empty rows get zero. Returns
+    (shingle hashes, row starts into them, shingles per row)."""
+    from ..hashing import stable_hash_ints
 
-    Rows with fewer than k tokens get ONE shingle (the whole-row hash);
-    empty rows get zero shingles.
-    """
-    from ..hashing import hash_token_lists, stable_hash_ints
-
-    if isinstance(tokens, pa.ChunkedArray):
-        tokens = tokens.combine_chunks()
-    offsets = tokens.offsets.to_numpy().astype(np.int64)
-    values = tokens.values.to_numpy()
-    n = len(offsets) - 1
-    lo, hi = offsets[0], offsets[-1]
-    lengths = offsets[1:] - offsets[:-1]
-    vals = values[lo:hi].astype(np.uint64)
-
+    lengths = rel_offsets[1:] - rel_offsets[:-1]
     with np.errstate(over="ignore"):
-        win = np.zeros(max(len(vals) - k + 1, 0), dtype=np.uint64)
+        win = np.zeros(max(len(flat) - k + 1, 0), dtype=np.uint64)
         for j in range(k):
-            win += vals[j:len(vals) - k + 1 + j] * _SH_C[j]
+            win += flat[j:len(flat) - k + 1 + j] * _SH_C[j]
         win = stable_hash_ints(win)
-    # a window starting at flat pos i is valid iff it stays inside its row
-    pos = (np.arange(hi - lo, dtype=np.int64)
-           - np.repeat(offsets[:-1] - lo, lengths))
-    valid = np.zeros(hi - lo, dtype=bool)
-    if len(win):
-        valid[:len(win)] = pos[:len(win)] <= np.repeat(lengths - k, lengths
-                                                       )[:len(win)]
 
     n_shingles = np.maximum(lengths - k + 1, 0)
     short = (lengths > 0) & (lengths < k)
     n_out = np.where(short, 1, n_shingles)
     out = np.empty(int(n_out.sum()), dtype=np.uint64)
     starts = np.concatenate([[0], np.cumsum(n_out)])[:-1]
-    # scatter full-window shingles row-contiguously
     full_rows = np.nonzero(n_shingles > 0)[0]
     if len(full_rows):
         idx = (np.arange(int(n_shingles[full_rows].sum()), dtype=np.int64)
                - np.repeat(np.concatenate([[0], np.cumsum(
                    n_shingles[full_rows])])[:-1], n_shingles[full_rows]))
-        src = np.repeat((offsets[:-1] - lo)[full_rows],
+        src = np.repeat(rel_offsets[:-1][full_rows],
                         n_shingles[full_rows]) + idx
         dst = np.repeat(starts[full_rows], n_shingles[full_rows]) + idx
         out[dst] = win[src]
     if short.any():
-        out[starts[short]] = hash_token_lists(tokens)[short]
+        out[starts[short]] = short_fallback[short]
     return out, starts, n_out
+
+
+def token_shingle_hashes(tokens, k: int = 3):
+    """(flat shingle hashes, row starts, shingles per row) for a list<int32>
+    column — one vectorized pass, no per-row Python. Short rows fall back to
+    the whole-row hash; empty rows get zero shingles."""
+    from ..hashing import hash_token_lists
+
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offsets = tokens.offsets.to_numpy().astype(np.int64)
+    values = tokens.values.to_numpy()
+    lo, hi = offsets[0], offsets[-1]
+    vals = values[lo:hi].astype(np.uint64)
+    return _window_shingles(vals, offsets - lo, k, hash_token_lists(tokens))
+
+
+def text_shingle_hashes(text_col, k: int = 3):
+    """Word-shingle hashes of a string column, vectorized: split → per-word
+    stable hash → k-window combine (same machinery as token shingles)."""
+    from ..hashing import stable_hash_ints
+
+    words = pc.split_pattern(text_col, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    wh = stable_hash_strings(words.flatten())
+    # short-row fallback: xor-fold of the row's word hashes, mixed
+    lengths = offsets[1:] - offsets[:-1]
+    fold = np.zeros(len(lengths), dtype=np.uint64)
+    nonempty = lengths > 0
+    if wh.size:
+        fold[nonempty] = np.bitwise_xor.reduceat(
+            wh, offsets[:-1][nonempty])
+    fold = stable_hash_ints(fold ^ lengths.astype(np.uint64))
+    return _window_shingles(wh, offsets, k, fold)
 
 
 class TokenMinHasher:
@@ -411,35 +474,10 @@ class TokenMinHasher:
         self.a, self.b = _perm_params(num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..hashing import stable_hash_ints
-
         sh, starts, n_out = token_shingle_hashes(batch["tokens"], self.k)
-        n = batch.num_rows
-        nonempty = n_out > 0
-        with np.errstate(over="ignore"):
-            m = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        sig = np.full((n, self.num_perm), _MERSENNE, dtype=np.uint64)
-        if len(sh):
-            sig[nonempty] = np.minimum.reduceat(m, starts[nonempty], axis=0)
-        # fold each band's perm minima into one band hash
-        doc_ids, bands_col, hashes = [], [], []
-        rpb = self.rows_per_band
-        band_hash = np.zeros((n, self.bands), dtype=np.uint64)
-        for band in range(self.bands):
-            acc = sig[:, band * rpb].copy()
-            for j in range(1, rpb):
-                with np.errstate(over="ignore"):
-                    acc = stable_hash_ints(acc * np.uint64(0x100000001B3)
-                                           ^ sig[:, band * rpb + j])
-            band_hash[:, band] = acc
-        ids = batch["doc_id"].to_pylist()
-        return pa.table({
-            "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=object),
-                                         self.bands), type=pa.string()),
-            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
-            "band_hash": pa.array((band_hash.reshape(-1)
-                                   >> np.uint64(1)).astype(np.int64)),
-        })
+        return _band_rows(sh, starts, n_out, batch["doc_id"].to_pylist(),
+                          batch["doc_id"].type, self.num_perm, self.bands,
+                          self.a, self.b)
 
 
 def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
@@ -455,20 +493,7 @@ def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
                                                     bands=bands, k=k),
                          batch_format="pyarrow", batch_size=2048,
                          concurrency=(1, 4), num_cpus=1)
-
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"a": pa.array(a, type=pa.string()),
-                         "b": pa.array(b, type=pa.string())})
-
-    cand = (sig.groupby(["band", "band_hash"])
-            .map_groups(pairs_in_bucket, batch_format="pyarrow"))
-    pairs = sorted({(r["a"], r["b"]) for r in cand.to_pandas().to_dict("records")})
+    pairs = _lsh_candidate_pairs(sig)
     empty = pa.table({"a": pa.array([], pa.string()),
                       "b": pa.array([], pa.string()),
                       "jaccard": pa.array([], pa.float64())})
