@@ -1018,3 +1018,64 @@ def knn_ivf(sf_dir: str):
                       ["embedding"].to_pylist()[0], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_topk(ds, qvec, k=10, n_clusters=8, nprobe=3)
+
+
+@q("pivot_events", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1
+""")
+def pivot_events(sf_dir: str):
+    """Pivot (wide conditional aggregation): distributed two-phase count on
+    (day, type), then the tiny result pivots driver-side."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": pc.floor_temporal(b["ts"], unit="day"),
+                      "event_type": b["event_type"]})
+        g = t.group_by(["day", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "event_type", "partial_rows"])
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["day", "event_type"])
+              .aggregate(Sum("partial_rows", alias_name="cnt"))
+              .to_pandas())
+    wide = (counts.pivot_table(index="day", columns="event_type",
+                               values="cnt", fill_value=0)
+            .reset_index())
+    wide.columns.name = None
+    for c in ("click", "purchase", "error", "signup", "view"):
+        if c not in wide:
+            wide[c] = 0
+        wide[c] = wide[c].astype("int64")
+    return wide[["day", "click", "purchase", "error", "signup", "view"]]
+
+
+@q("word_counts", """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20
+""")
+def word_counts(sf_dir: str):
+    """split → explode → two-phase count → deterministic top-k: the
+    wordcount classic, fully vectorized (flatten the split ListArray — no
+    per-row Python)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        t = pa.table({"word": words.flatten()})
+        g = t.group_by(["word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "partial_rows"])
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("word").aggregate(Sum("partial_rows", alias_name="cnt")))
+    return agg.top_k(counts, "cnt", 20, tiebreak="word")
