@@ -33,6 +33,44 @@ def default_dim(num_sources: int = 1000) -> pa.Table:
     return build_dim_table([f"src{i}" for i in range(num_sources)])
 
 
+def run_streaming(input_path: str, out_dir: str,
+                  spec: PipelineSpec | None = None,
+                  dim: pa.Table | None = None) -> dict:
+    """Pure-Dataset flagship e2e: read → parse → enrich(actor pool) →
+    route(actor pool) → ``write_parquet(partition_cols=["sink"])`` →
+    aggregates from the written output.
+
+    This is the fully streaming form (Ray owns all scheduling/fan-out). It
+    trades the runner's per-partition atomic-commit manifest for simplicity —
+    use ``runner.run`` when you need kill-resume; use this when the output
+    store is append-only/versioned and retries may overwrite freely.
+    """
+    import os
+
+    from ..config import PipelineSpec as _Spec
+    from ..stages import agg
+
+    spec = spec or _Spec()
+    ds = rd.read_parquet(input_path, columns=list(S.SEQUENCES_SCHEMA.names))
+    routed = build_routed(ds, spec, dim)
+    sinks_dir = os.path.join(out_dir, "sinks")
+    routed.write_parquet(sinks_dir, partition_cols=["sink"])
+
+    back = rd.read_parquet(sinks_dir, columns=["sink", "source",
+                                               "parse_class", "tok_len"])
+    counts, hist = agg.per_sink_counts_and_hist(
+        back, bin_width=spec.hist_bin_width, max_tokens=spec.max_tokens)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.join(out_dir, "_aggregates"), exist_ok=True)
+    pq.write_table(counts, os.path.join(out_dir, "_aggregates",
+                                        "per_sink_counts.parquet"))
+    pq.write_table(hist, os.path.join(out_dir, "_aggregates",
+                                      "ntok_hist.parquet"))
+    return {"sink_rows": int(pc.sum(counts["cnt"]).as_py() or 0),
+            "groups": counts.num_rows}
+
+
 def build_routed(ds: rd.Dataset, spec: PipelineSpec,
                  dim: pa.Table | None = None) -> rd.Dataset:
     """sequences Dataset → routed Dataset (adds parse/enrich/route columns)."""

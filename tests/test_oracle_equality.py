@@ -113,3 +113,30 @@ def test_tokenize_bridge_invariants():
     classes = set(out["parse_class"].to_pylist())
     assert classes == {S.CLASS_OK}  # bridge rows are all clean
     assert out["tokens"].combine_chunks().equals(seq["tokens"].combine_chunks())
+
+
+def test_streaming_pipeline_matches_runner(tmp_path):
+    """The pure-Dataset streaming form (write_parquet partition_cols) and the
+    resumable runner produce identical per-sink counts."""
+    import pyarrow.parquet as pq
+
+    from blog_parser_ray import runner
+    from blog_parser_ray.pipelines.flagship import run_streaming
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    t = synth.synth_table(np.arange(6000), seed=23)
+    pq.write_table(t, str(corpus / "c.parquet"), row_group_size=1500)
+
+    out_a = str(tmp_path / "out_stream")
+    res = run_streaming(str(corpus), out_a, SPEC)
+    assert res["sink_rows"] == 6000
+
+    out_b = str(tmp_path / "out_runner")
+    runner.run(str(corpus), out_b, PipelineSpec(target_partition_rows=1500))
+
+    ca = pq.read_table(f"{out_a}/_aggregates/per_sink_counts.parquet").to_pylist()
+    cb = pq.read_table(f"{out_b}/_aggregates/per_sink_counts").to_pylist()
+    da = {(r["sink"], r["source"], r["parse_class"]): r["cnt"] for r in ca}
+    db = {(r["sink"], r["source"], r["parse_class"]): r["cnt"] for r in cb}
+    assert da == db
