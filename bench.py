@@ -32,7 +32,8 @@ CORPUS_CACHE = f"/tmp/bpr_bench_corpus_{BENCH_ROWS}_s{BENCH_SEED}"
 QUERY_NAMES = [
     "per_sink_counts", "lineitem_by_flag", "orders_customers",
     "tumbling_daily", "dedup_docs", "sorted_counts", "json_funcs",
-    "knn_cosine", "dedup_minhash",
+    "knn_cosine", "dedup_minhash", "word_counts", "session_counts",
+    "qty_quantiles", "asof_orders",
 ]
 
 
