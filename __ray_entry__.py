@@ -11,9 +11,16 @@ Ray is initialised by the driver BEFORE this module is imported: nothing here
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 from collections.abc import Callable
 from typing import Any
+
+# make the package importable regardless of the driver's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry() -> Any:

@@ -165,7 +165,6 @@ def _lsh_candidate_pairs(sig: rd.Dataset) -> list[tuple]:
     two-phase bucket COUNT finds colliding buckets, a broadcast is_in filter
     keeps only their rows (small, by LSH's contract), and pair expansion runs
     driver-side on the survivors."""
-    import pandas as pd
     from ..hashing import stable_hash_ints
     from ..stages.agg import group_count
 

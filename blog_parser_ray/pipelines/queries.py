@@ -28,7 +28,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .. import schema as S
 from ..config import bridge_spec
 from ..stages import agg
 from ..stages.enrich import build_dim_table

@@ -1,8 +1,9 @@
 """Resumable flagship runner (SURVEY.md §3.1 entry point A, §3.3 resume).
 
 Execution model: the deterministic partition plan (sources/readers.py) becomes
-a small Dataset of partition specs; an ACTOR POOL of ``PartitionProcessor``s
-maps over it, each task running the full per-partition chain
+a small Dataset of partition specs; a pool of stateless ``process_partitions``
+tasks maps over it (broadcast dim via ``ray.put`` arg), each task running the
+full per-partition chain
 
     read fragment → parse → enrich → route → atomic per-sink write
 
@@ -41,7 +42,7 @@ from . import schema as S
 from .config import PipelineSpec
 from .sources.readers import PartitionSpec, plan_partitions, read_partition
 from .stages import agg
-from .stages.enrich import build_dim_table, enrich_batch
+from .stages.enrich import enrich_batch
 from .stages.parse import parse_batch
 from .stages.route import route_batch
 from .stages.sink import write_partition_sinks

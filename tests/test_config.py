@@ -3,12 +3,13 @@
 from __future__ import annotations
 
 import numpy as np
+
+from blog_parser_ray.config import (PipelineSpec, router_from_dict,
+                                    spec_from_dict, spec_to_dict)
 import pyarrow as pa
 
 from blog_parser_ray import oracle, synth
-from blog_parser_ray.config import (PipelineSpec, default_router,
-                                    router_from_dict, spec_from_dict,
-                                    spec_to_dict)
+
 from blog_parser_ray.pipelines.flagship import default_dim
 from blog_parser_ray.stages.enrich import enrich_batch
 from blog_parser_ray.stages.parse import parse_batch

@@ -3,7 +3,6 @@ with the row-at-a-time oracle on arbitrary inputs (SURVEY.md §5.4)."""
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st

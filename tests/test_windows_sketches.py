@@ -57,7 +57,6 @@ def test_asof_keyed_matches_broadcast_per_key():
         ["event_id", "user_id", "ts"])
     # per-user as-of against each user's own earlier events (self-asof on a
     # shifted copy) — checks the keyed plan end-to-end
-    import pyarrow.compute as pc
     orders = pq.read_table(f"{SF}/orders.parquet",
                            columns=["o_custkey", "o_orderkey", "o_orderdate"])
     orders = orders.rename_columns(["user_id", "o_orderkey", "ots"])
