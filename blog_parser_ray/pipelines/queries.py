@@ -1078,3 +1078,41 @@ def word_counts(sf_dir: str):
     counts = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("word").aggregate(Sum("partial_rows", alias_name="cnt")))
     return agg.top_k(counts, "cnt", 20, tiebreak="word")
+
+
+@q("qty_quantiles_by_flag", """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS q25,
+       quantile_disc(l_quantity, 0.50) AS q50,
+       quantile_disc(l_quantity, 0.95) AS q95
+FROM lineitem GROUP BY l_returnflag
+""")
+def qty_quantiles_by_flag(sf_dir: str):
+    """Grouped exact quantiles over a bounded domain: one distributed
+    two-phase (group, value) count, then per-group CDF reads on the tiny
+    result — shuffles counts, never rows."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (b.select(["l_returnflag", "l_quantity"])
+             .group_by(["l_returnflag", "l_quantity"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["l_returnflag", "l_quantity", "partial_rows"])
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_quantity"])
+              .aggregate(Sum("partial_rows", alias_name="cnt"))
+              .to_pandas().sort_values(["l_returnflag", "l_quantity"]))
+    rows = []
+    for flag, g in counts.groupby("l_returnflag"):
+        values = g["l_quantity"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        qs = {}
+        for q in (0.25, 0.50, 0.95):
+            idx = int(np.floor((n - 1) * q))
+            qs[q] = float(values[np.searchsorted(cum, idx + 1)])
+        rows.append({"l_returnflag": flag, "q25": qs[0.25],
+                     "q50": qs[0.50], "q95": qs[0.95]})
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["l_returnflag"]))

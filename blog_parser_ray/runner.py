@@ -51,7 +51,8 @@ from .state.manifest import Manifest
 
 def process_partitions(batch: pa.Table, dim_ref, spec: PipelineSpec,
                        out_dir: str,
-                       inject_fail: frozenset = frozenset()) -> pa.Table:
+                       inject_fail: frozenset = frozenset(),
+                       fail_once: frozenset = frozenset()) -> pa.Table:
     """Stateless task over partition specs: read → parse → enrich → route →
     atomic per-sink write, returning lineage rows.
 
@@ -75,7 +76,7 @@ def process_partitions(batch: pa.Table, dim_ref, spec: PipelineSpec,
         t = route_batch(t, spec.router)
         lineage.extend(write_partition_sinks(
             t, out_dir, spec_row.partition_id, spec_row.fragment,
-            inject_fail=inject_fail))
+            inject_fail=inject_fail, fail_once=fail_once))
     if not lineage:
         return S.LINEAGE_SCHEMA.empty_table()
     return pa.Table.from_pylist(lineage, schema=S.LINEAGE_SCHEMA)
@@ -85,7 +86,8 @@ def run(input_dir: str, out_dir: str, spec: PipelineSpec | None = None,
         dim: pa.Table | None = None, *, resume: bool = False,
         concurrency: tuple[int, int] | int | None = None,
         write_metrics: bool = True,
-        inject_fail: frozenset = frozenset()) -> dict:
+        inject_fail: frozenset = frozenset(),
+        fail_once: frozenset = frozenset()) -> dict:
     """Run (or resume) the flagship pipeline. Returns a summary dict."""
     t_start = time.monotonic()
     spec = spec or PipelineSpec()
@@ -117,8 +119,11 @@ def run(input_dir: str, out_dir: str, spec: PipelineSpec | None = None,
         specs_ds = rd.from_items([asdict(p) for p in todo])
         lineage_ds = specs_ds.map_batches(
             process_partitions,
-            fn_args=(dim_ref, spec, out_dir, inject_fail),
+            fn_args=(dim_ref, spec, out_dir, inject_fail, fail_once),
             batch_size=1, batch_format="pyarrow", num_cpus=1,
+            # transient write failures retry safely: the atomic tmp+rename
+            # commit makes re-execution idempotent (SURVEY.md §7.4 item 1)
+            retry_exceptions=True, max_retries=3,
             **({"concurrency": concurrency} if concurrency else {}))
         # stream lineage as partitions finish → incremental commit (§3.3)
         done_rows = 0

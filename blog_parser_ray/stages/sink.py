@@ -28,7 +28,8 @@ import pyarrow.parquet as pq
 
 def write_partition_sinks(table: pa.Table, out_dir: str, partition_id: int,
                           fragment: str, attempt: int = 0,
-                          inject_fail: frozenset | None = None) -> list[dict]:
+                          inject_fail: frozenset | None = None,
+                          fail_once: frozenset | None = None) -> list[dict]:
     """Write one routed partition's rows into per-sink files; return lineage
     records (one per (partition, sink)) for the manifest."""
     t0 = time.monotonic()
@@ -36,6 +37,18 @@ def write_partition_sinks(table: pa.Table, out_dir: str, partition_id: int,
     fail_ids = {int(x) for x in fail_env.split(",") if x} | set(inject_fail or ())
     if partition_id in fail_ids:
         raise RuntimeError(f"injected failure for partition {partition_id}")
+    if fail_once is not None and partition_id in fail_once:
+        # fail the FIRST attempt only (marker file survives the task death),
+        # exercising Ray's task retry + the idempotent-rename overwrite path
+        marker = os.path.join(out_dir, "_tmp",
+                              f"fail_once_{partition_id:06d}.marker")
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("failed-first-attempt")
+            raise RuntimeError(
+                f"injected one-shot failure for partition {partition_id}")
+        attempt = max(attempt, 1)
 
     tmp_dir = os.path.join(out_dir, "_tmp", f"{partition_id:06d}")
     os.makedirs(tmp_dir, exist_ok=True)

@@ -198,3 +198,20 @@ def test_aggregates_byte_identical_across_reruns(corpus, tmp_path):
     assert first.keys() == second.keys()
     for k in first:
         assert first[k] == second[k], f"aggregate file {k} changed bytes"
+
+
+def test_task_retry_does_not_double_write(corpus, tmp_path):
+    """A partition that fails its FIRST attempt (then succeeds on Ray's
+    retry) must end committed exactly once with no duplicate rows — the
+    idempotent tmp+rename path under real task retries (SURVEY.md §7.4 #1)."""
+    out = str(tmp_path / "out")
+    spec = PipelineSpec(target_partition_rows=3000)
+    s = runner.run(corpus, out, spec, fail_once=frozenset({1, 3}))
+    assert s["conserved"], s
+    assert s["sink_rows"] == N_ROWS
+    pids = json_lines(os.path.join(out, "_manifest", "manifest.jsonl"))
+    assert sorted(pids) == sorted(set(pids))
+    # the retried partitions actually went through the fail-once path
+    for pid in (1, 3):
+        assert os.path.exists(
+            os.path.join(out, "_tmp", f"fail_once_{pid:06d}.marker"))
