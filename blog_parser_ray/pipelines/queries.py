@@ -1116,3 +1116,24 @@ def qty_quantiles_by_flag(sf_dir: str):
         rows.append({"l_returnflag": flag, "q25": qs[0.25],
                      "q50": qs[0.50], "q95": qs[0.95]})
     return pa.Table.from_pylist(sorted(rows, key=lambda r: r["l_returnflag"]))
+
+
+_BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@q("token_count_bpe", f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INTEGER)
+         AS n_bpe
+FROM documents
+""")
+def token_count_bpe(sf_dir: str):
+    """BPE-ish regex token counting (alpha runs / digit runs / symbol runs,
+    each with optional leading space) — `pc.count_substring_regex`, one
+    vectorized pass; same re2 dialect as the DuckDB oracle."""
+    def fn(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], _BPE_PATTERN)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bpe": pc.cast(n, pa.int32())})
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

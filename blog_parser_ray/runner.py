@@ -103,6 +103,20 @@ def run(input_dir: str, out_dir: str, spec: PipelineSpec | None = None,
         raise RuntimeError(
             f"{out_dir} already has a manifest; pass resume=True or use a "
             "fresh output directory (refusing to double-write)")
+    # resume safety: a committed partition id must refer to the SAME input
+    # fragment in the current plan — otherwise the plan changed (different
+    # target_partition_rows or mutated input) and skipping by id would skip
+    # the wrong data.
+    by_id = {p.partition_id: p for p in plan}
+    for pid, rec in committed.items():
+        current = by_id.get(pid)
+        if current is None or rec.get("input_fragment") != current.fragment:
+            raise RuntimeError(
+                f"manifest partition {pid} maps to "
+                f"{rec.get('input_fragment')!r} but the current plan has "
+                f"{current.fragment if current else 'no such partition'!r}; "
+                "the partition plan changed (different target_partition_rows "
+                "or modified input) — resume with the original spec")
     todo = [p for p in plan if p.partition_id not in committed]
 
     summary = {

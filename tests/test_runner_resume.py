@@ -215,3 +215,13 @@ def test_task_retry_does_not_double_write(corpus, tmp_path):
     for pid in (1, 3):
         assert os.path.exists(
             os.path.join(out, "_tmp", f"fail_once_{pid:06d}.marker"))
+
+
+def test_resume_rejects_changed_plan(corpus, tmp_path):
+    """Resuming with a different partition granularity must fail loudly —
+    partition ids would map to different fragments and skip wrong data."""
+    out = str(tmp_path / "out")
+    runner.run(corpus, out, PipelineSpec(target_partition_rows=3000))
+    with pytest.raises(RuntimeError, match="plan changed"):
+        runner.run(corpus, out, PipelineSpec(target_partition_rows=1500),
+                   resume=True)
