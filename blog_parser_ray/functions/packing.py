@@ -1,0 +1,115 @@
+"""Training-example assembly ops (task extension set): sequence packing and
+deterministic stratified splits.
+
+- ``pack_sequences``: combine whole sequences into packed training examples
+  of ≤ ``max_len`` tokens (no sequence ever split). Vectorized first-fit-in-
+  order: a cumulative token count per batch is cut wherever adding the next
+  sequence would overflow — pack boundaries come from one ``np.maximum``
+  scan, token payloads from one ListArray rebuild. Packing is per-batch
+  (embarrassingly parallel); cross-batch fill is deliberately not attempted —
+  at 10¹² rows the ~½-example waste per batch is noise, and batch-local
+  packing keeps the op a pure map.
+- ``stratified_split``: train/val/test by stable hash of the key — the same
+  row lands in the same split on every run, cluster size, or input order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from .. import schema as S
+from ..hashing import stable_hash_strings
+
+
+def pack_sequences_batch(batch: pa.Table, max_len: int = 2048) -> pa.Table:
+    """One batch → packed examples (pack_id is batch-local; global ids come
+    from (source file/partition, pack_id) downstream)."""
+    tokens = batch["tokens"]
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offsets = tokens.offsets.to_numpy().astype(np.int64)
+    values = tokens.values.to_numpy()
+    lengths = offsets[1:] - offsets[:-1]
+    n = len(lengths)
+    if n == 0:
+        return pa.table({
+            "pack_id": pa.array([], pa.int64()),
+            "n_seqs": pa.array([], pa.int32()),
+            "n_tok": pa.array([], pa.int32()),
+            "doc_ids": pa.array([], pa.list_(pa.string())),
+            "tokens": pa.array([], S.TOKENS_TYPE),
+        })
+    if int(lengths.max()) > max_len:
+        raise ValueError(
+            f"sequence longer than max_len={max_len}; filter oversized rows "
+            "(parse_class='oversized') before packing")
+
+    # first-fit-in-order: assign pack boundaries where the running total
+    # would exceed max_len. Sequential dependence resolved in one python
+    # pass over ROWS (not tokens) — cheap relative to the token copy below.
+    pack_of = np.empty(n, dtype=np.int64)
+    acc = 0
+    pack = 0
+    for i in range(n):
+        li = lengths[i]
+        if acc + li > max_len:
+            pack += 1
+            acc = 0
+        pack_of[i] = pack
+        acc += li
+    n_packs = pack + 1
+
+    # tokens of a pack = concatenation of its members' tokens (members are
+    # consecutive in row order, so the flat copy is one gather)
+    pack_tok = np.bincount(pack_of, weights=lengths).astype(np.int64)
+    pack_seqs = np.bincount(pack_of).astype(np.int32)
+    lo = offsets[0]
+    flat = values[lo:offsets[-1]]
+    # rows are consecutive → flat values are already in pack order
+    out_offsets = np.concatenate([[0], np.cumsum(pack_tok)])
+    packed_tokens = pa.ListArray.from_arrays(
+        pa.array(out_offsets, type=pa.int32()),
+        pa.array(flat, type=pa.int32()))
+
+    doc_ids = batch["doc_id"]
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    id_offsets = np.concatenate([[0], np.cumsum(pack_seqs)])
+    doc_id_lists = pa.ListArray.from_arrays(
+        pa.array(id_offsets, type=pa.int32()), doc_ids)
+
+    return pa.table({
+        "pack_id": pa.array(np.arange(n_packs), type=pa.int64()),
+        "n_seqs": pa.array(pack_seqs, type=pa.int32()),
+        "n_tok": pa.array(pack_tok.astype(np.int32), type=pa.int32()),
+        "doc_ids": doc_id_lists,
+        "tokens": packed_tokens,
+    })
+
+
+def pack_sequences(ds: rd.Dataset, max_len: int = 2048,
+                   batch_size: int = 8192) -> rd.Dataset:
+    return ds.map_batches(lambda b: pack_sequences_batch(b, max_len),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
+
+
+def stratified_split(ds: rd.Dataset, key_col: str = "doc_id",
+                     val_frac: float = 0.05, test_frac: float = 0.05,
+                     salt: str = "split-v1") -> rd.Dataset:
+    """Append ``split`` ∈ {train, val, test} from a salted stable hash of the
+    key: deterministic across runs/cluster sizes/input order; changing the
+    salt re-rolls the assignment."""
+    val_cut = int(val_frac * 10_000)
+    test_cut = val_cut + int(test_frac * 10_000)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = [f"{salt}:{k}" for k in batch[key_col].to_pylist()]
+        h = (stable_hash_strings(keys) % np.uint64(10_000)).astype(np.int64)
+        split = np.select([h < val_cut, h < test_cut], ["val", "test"],
+                          default="train")
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

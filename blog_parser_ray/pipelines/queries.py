@@ -1137,3 +1137,22 @@ def token_count_bpe(sf_dir: str):
                          "n_bpe": pc.cast(n, pa.int32())})
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+@q("pack_sequences")  # rows-only: packing has no SQL equivalent
+def pack_sequences_q(sf_dir: str):
+    """Sequence packing: whole bridge sequences combined into ≤512-token
+    training examples (functions/packing.py; conservation tested)."""
+    from ..functions.packing import pack_sequences
+
+    return (pack_sequences(_seq_ds(sf_dir), max_len=512)
+            .drop_columns(["tokens", "doc_ids"]))
+
+
+@q("train_split")  # rows-only: siphash-based split not SQL-reproducible
+def train_split(sf_dir: str):
+    """Deterministic stratified split counts over the bridge corpus."""
+    from ..functions.packing import stratified_split
+
+    ds = stratified_split(_seq_ds(sf_dir), val_frac=0.05, test_frac=0.05)
+    return agg.group_count(ds, ["split"], alias="cnt")

@@ -180,3 +180,56 @@ def test_ivf_topk_overlaps_brute_force():
     assert ivf and ivf[0]["vec_id"] == 11
     overlap = {r["vec_id"] for r in ivf} & {r["vec_id"] for r in bf}
     assert len(overlap) >= 4
+
+
+def test_pack_sequences_conservation():
+    from blog_parser_ray import schema as S
+    from blog_parser_ray import synth
+    from blog_parser_ray.functions.packing import pack_sequences_batch
+
+    t = synth.synth_table(np.arange(3000), seed=31)
+    # drop oversized rows first (packing contract)
+    import pyarrow.compute as pc
+    toks = t["tokens"].combine_chunks()
+    lens = pc.list_value_length(toks)
+    t = t.filter(pc.less_equal(lens, 512))
+    packed = pack_sequences_batch(t, max_len=512)
+    # conservation: concatenation of packed tokens == concatenation of input
+    assert (packed["tokens"].combine_chunks().flatten().to_numpy().tolist()
+            == t["tokens"].combine_chunks().flatten().to_numpy().tolist())
+    assert int(pa.compute.sum(packed["n_seqs"]).as_py()) == t.num_rows
+    n_toks = packed["n_tok"].to_pylist()
+    assert max(n_toks) <= 512
+    # packing is tight-ish: average fill above 60% of max_len
+    assert sum(n_toks) / (len(n_toks) * 512) > 0.6
+    # doc_ids align with token membership counts
+    for r in packed.to_pylist()[:20]:
+        assert len(r["doc_ids"]) == r["n_seqs"]
+
+    # oversized input rejected loudly
+    import pytest
+    big = pa.table({"doc_id": pa.array(["x"]),
+                    "tokens": pa.array([[5] * 600], type=S.TOKENS_TYPE),
+                    "n_tok": pa.array([600], type=pa.int32()),
+                    "source": pa.array(["s"])})
+    with pytest.raises(ValueError, match="max_len"):
+        pack_sequences_batch(big, max_len=512)
+
+
+def test_stratified_split_deterministic_and_sized():
+    from blog_parser_ray import synth
+    from blog_parser_ray.functions.packing import stratified_split
+
+    t = synth.synth_table(np.arange(20000), seed=33)
+    a = stratified_split(rd.from_arrow(t)).to_pandas()
+    b = stratified_split(rd.from_arrow(t).repartition(8)).to_pandas()
+    ma = dict(zip(a["doc_id"], a["split"]))
+    mb = dict(zip(b["doc_id"], b["split"]))
+    assert ma == mb                      # partitioning-invariant assignment
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.03 < frac.get("val", 0) < 0.07
+    assert 0.03 < frac.get("test", 0) < 0.07
+    # different salt → different assignment
+    c = stratified_split(rd.from_arrow(t), salt="v2").to_pandas()
+    mc = dict(zip(c["doc_id"], c["split"]))
+    assert ma != mc
