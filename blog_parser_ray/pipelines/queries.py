@@ -1156,3 +1156,74 @@ def train_split(sf_dir: str):
 
     ds = stratified_split(_seq_ds(sf_dir), val_frac=0.05, test_frac=0.05)
     return agg.group_count(ds, ["split"], alias="cnt")
+
+
+@q("semi_orders_bloom", """
+SELECT o_orderkey, o_custkey
+FROM orders WHERE o_custkey IN
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""")
+def semi_orders_bloom(sf_dir: str):
+    """J3 scale path: Bloom-filter pre-pass + exact verify on the survivors
+    (functions/bloom.py) — same answer as the exact semi-join."""
+    from ..functions.bloom import semi_join_bloom
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return semi_join_bloom(orders, building, fact_key="o_custkey",
+                           key_col="c_custkey")
+
+
+@q("orders_event_window", """
+WITH od AS (SELECT DISTINCT CAST(o_orderdate AS TIMESTAMP) AS d FROM orders),
+win AS (
+  SELECT od.d, count(e.event_id) AS ev_cnt
+  FROM od LEFT JOIN events e
+    ON e.ts >= od.d AND e.ts < od.d + INTERVAL 1 DAY
+  GROUP BY od.d)
+SELECT o.o_orderkey, w.ev_cnt
+FROM orders o JOIN win w ON CAST(o.o_orderdate AS TIMESTAMP) = w.d
+""")
+def orders_event_window(sf_dir: str):
+    """Range join: events falling in [o_orderdate, +1 day) per order.
+
+    Physical plan: count events per DISTINCT date window via two
+    searchsorteds over each batch's sorted-timestamp view (vectorized, no
+    row explosion), merge partial counts, broadcast the (date → count) map
+    back onto orders. The range join never materializes the event×order
+    cross product."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate"])
+    dates = pc.unique(orders["o_orderdate"].combine_chunks()
+                      if isinstance(orders["o_orderdate"], pa.ChunkedArray)
+                      else orders["o_orderdate"])
+    d_np = np.sort(dates.to_numpy(zero_copy_only=False))
+    lo_ref, hi_ref = d_np, d_np + np.timedelta64(1, "D")
+    import ray
+    bounds_ref = ray.put((lo_ref, hi_ref))
+
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lo, hi = ray.get(bounds_ref)
+        ts = np.sort(b["ts"].to_numpy(zero_copy_only=False))
+        cnt = (np.searchsorted(ts, hi, side="left")
+               - np.searchsorted(ts, lo, side="left")).astype(np.int64)
+        return pa.table({"d": pa.array(lo), "partial": pa.array(cnt)})
+
+    from ray.data.aggregate import Sum
+    win = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby("d").aggregate(Sum("partial", alias_name="ev_cnt"))
+           .to_pandas())
+    cnt_by_date = dict(zip(win["d"], win["ev_cnt"]))
+    odates = orders["o_orderdate"].to_pandas()
+    return pa.table({
+        "o_orderkey": orders["o_orderkey"],
+        "ev_cnt": pa.array([int(cnt_by_date.get(d, 0)) for d in odates],
+                           type=pa.int64()),
+    })

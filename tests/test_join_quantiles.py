@@ -66,3 +66,37 @@ def test_compact_sinks(tmp_path):
     assert sorted(before["x"]) == sorted(after["x"])
     for sink in ("a", "b"):
         assert report[sink]["files_after"] < report[sink]["files_before"]
+
+
+def test_bloom_filter_rates_and_merge():
+    from blog_parser_ray.functions.bloom import BloomFilter
+
+    keys = np.arange(0, 20_000, 2)  # evens
+    bf = BloomFilter(len(keys), fp_rate=0.01)
+    bf.add(keys)
+    assert bf.contains(keys).all()            # no false negatives, ever
+    odds = np.arange(1, 20_001, 2)
+    fp = bf.contains(odds).mean()
+    assert fp < 0.05, fp                      # near the configured rate
+    # mergeability: union of two filters == filter of union
+    a, b = BloomFilter(1000, 0.01), BloomFilter(1000, 0.01)
+    a.add(np.arange(0, 500))
+    b.add(np.arange(500, 1000))
+    a.merge(b)
+    assert a.contains(np.arange(0, 1000)).all()
+
+
+def test_semi_join_bloom_matches_exact():
+    import pyarrow.compute as pc
+    from blog_parser_ray.functions.bloom import semi_join_bloom
+
+    rng = np.random.default_rng(6)
+    fact = pa.table({"k": pa.array(rng.integers(0, 1000, 5000), type=pa.int64()),
+                     "v": pa.array(np.arange(5000), type=pa.int64())})
+    keys = pa.table({"key": pa.array(np.arange(0, 1000, 3), type=pa.int64())})
+    out = semi_join_bloom(rd.from_arrow(fact).repartition(4),
+                          rd.from_arrow(keys), fact_key="k",
+                          key_col="key").to_pandas()
+    expect = fact.filter(pc.is_in(fact["k"], value_set=keys["key"]
+                                  .combine_chunks())).to_pandas()
+    assert sorted(out["v"]) == sorted(expect["v"])
