@@ -1227,3 +1227,20 @@ def orders_event_window(sf_dir: str):
         "ev_cnt": pa.array([int(cnt_by_date.get(d, 0)) for d in odates],
                            type=pa.int64()),
     })
+
+
+@q("ntok_hist_by_sink", f"""
+WITH {_SEQ_SQL.strip()},
+enriched AS (
+  SELECT seq.*, dim.meta_priority
+  FROM seq LEFT JOIN {_dim_values_sql()} USING (source))
+SELECT {_SINK_CASE_SQL.strip()} AS sink,
+       CAST(n_tok // 8 AS INTEGER) AS bin, count(*) AS cnt
+FROM enriched
+GROUP BY 1, 2
+""")
+def ntok_hist_by_sink(sf_dir: str):
+    """A3 per-sink histogram over the routed bridge corpus (bin width 8)."""
+    routed = build_routed(_seq_ds(sf_dir), bridge_spec(),
+                          build_dim_table(_DIM_SOURCES))
+    return agg.ntok_histogram(routed, bin_width=8, per_sink=True)

@@ -106,8 +106,16 @@ def test_injected_failure_then_resume(corpus, tmp_path):
 def json_lines(path):
     if not os.path.exists(path):
         return []
+    out = []
     with open(path) as f:
-        return [json.loads(line)["partition_id"] for line in f if line.strip()]
+        for line in f:
+            if not line.strip():
+                continue
+            try:
+                out.append(json.loads(line)["partition_id"])
+            except json.JSONDecodeError:
+                continue  # torn line — same skip rule as Manifest.committed
+    return out
 
 
 KILL_SCRIPT = r"""
@@ -225,3 +233,22 @@ def test_resume_rejects_changed_plan(corpus, tmp_path):
     with pytest.raises(RuntimeError, match="plan changed"):
         runner.run(corpus, out, PipelineSpec(target_partition_rows=1500),
                    resume=True)
+
+
+def test_torn_manifest_line_recovers(corpus, tmp_path):
+    """A crash can leave a torn (truncated) final manifest line; committed()
+    skips it and resume re-runs exactly that partition."""
+    out = str(tmp_path / "out")
+    spec = PipelineSpec(target_partition_rows=3000)
+    runner.run(corpus, out, spec)
+    mpath = os.path.join(out, "_manifest", "manifest.jsonl")
+    lines = open(mpath).read().splitlines()
+    torn = lines[:-1] + [lines[-1][: len(lines[-1]) // 2]]  # truncate last
+    with open(mpath, "w") as f:
+        f.write("\n".join(torn) + "\n")  # no trailing full record
+    s = runner.run(corpus, out, spec, resume=True)
+    assert s["partitions_run"] == 1          # only the torn one re-ran
+    assert s["conserved"]
+    assert s["sink_rows"] == N_ROWS
+    pids = json_lines(mpath)
+    assert sorted(set(pids)) == sorted(range(s["partitions_total"]))
