@@ -35,20 +35,28 @@ from ..hashing import stable_hash_strings
 # ---------------------------------------------------------------------------
 
 
-def _dedup_by_hash(ds: rd.Dataset, hash_fn, key_col: str) -> rd.Dataset:
+def _dedup_by_hash(ds: rd.Dataset, hash_fns, key_col: str) -> rd.Dataset:
     """Two-phase winner dedup: per-block (content-hash, min key) partials →
     tiny groupby → broadcast winner-key filter. Only (hash, key) pairs ever
-    shuffle; full rows never do."""
+    shuffle; full rows never do.
+
+    ``hash_fns`` is a PAIR of independent 64-bit content hashes; rows are
+    identical iff both agree — an effective 128-bit fingerprint, so the
+    silent-drop probability from hash collisions is ~n²/2¹²⁹ (≈10⁻¹⁵ even at
+    n=10¹² rows), versus birthday-expected collisions at 64 bits.
+    """
+    h1_fn, h2_fn = hash_fns
 
     def partial(batch: pa.Table) -> pa.Table:
-        h = hash_fn(batch)
-        t = pa.table({"h": pa.array(h.astype(np.int64)),
+        t = pa.table({"h1": pa.array(h1_fn(batch).astype(np.int64)),
+                      "h2": pa.array(h2_fn(batch).astype(np.int64)),
                       key_col: batch[key_col]})
-        g = t.group_by("h").aggregate([(key_col, "min")])
-        return g.rename_columns(["h", "winner"])
+        g = t.group_by(["h1", "h2"]).aggregate([(key_col, "min")])
+        return g.rename_columns(["h1", "h2", "winner"])
 
     winners_ds = (ds.map_batches(partial, batch_format="pyarrow")
-                  .groupby("h").aggregate(Min("winner", alias_name="winner")))
+                  .groupby(["h1", "h2"])
+                  .aggregate(Min("winner", alias_name="winner")))
     winners = pa.concat_tables(
         [ray.get(r) for r in winners_ds.to_arrow_refs()])["winner"]
     winner_ref = ray.put(winners.combine_chunks())
@@ -60,15 +68,22 @@ def _dedup_by_hash(ds: rd.Dataset, hash_fn, key_col: str) -> rd.Dataset:
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+_HASH_KEY_2 = "bpr-dedup-key-2!"  # 16 chars: independent SipHash family
+
+
 def exact_dedup(ds: rd.Dataset, content_col: str = "text",
                 key_col: str = "doc_id") -> rd.Dataset:
     """U4: keep the min-``key_col`` row per distinct ``content_col`` value.
 
     Deterministic winner; matches SQL
-    ``WHERE key IN (SELECT min(key) FROM t GROUP BY content)``.
+    ``WHERE key IN (SELECT min(key) FROM t GROUP BY content)`` up to the
+    128-bit fingerprint collision bound (see ``_dedup_by_hash``).
     """
     return _dedup_by_hash(
-        ds, lambda b: stable_hash_strings(b[content_col]), key_col)
+        ds,
+        (lambda b: stable_hash_strings(b[content_col]),
+         lambda b: stable_hash_strings(b[content_col], key=_HASH_KEY_2)),
+        key_col)
 
 
 def exact_dedup_tokens(ds: rd.Dataset, tokens_col: str = "tokens",
@@ -78,8 +93,11 @@ def exact_dedup_tokens(ds: rd.Dataset, tokens_col: str = "tokens",
     — the token payload itself never shuffles."""
     from ..hashing import hash_token_lists
 
-    return _dedup_by_hash(ds, lambda b: hash_token_lists(b[tokens_col]),
-                          key_col)
+    return _dedup_by_hash(
+        ds,
+        (lambda b: hash_token_lists(b[tokens_col]),
+         lambda b: hash_token_lists(b[tokens_col], seed=0x5DEECE66D)),
+        key_col)
 
 
 # ---------------------------------------------------------------------------
@@ -127,11 +145,16 @@ def _band_rows(sh, starts, n_out, ids, id_type, num_perm, bands, a, b):
                 acc = stable_hash_ints(acc * np.uint64(0x100000001B3)
                                        ^ sig[:, band * rpb + j])
         band_hash[:, band] = acc
+    # zero-shingle rows (empty/whitespace docs) would all share the identical
+    # all-sentinel signature and collide in EVERY band → O(n²) pair blowup.
+    # They can never be shingle near-dups of anything, so drop them from band
+    # emission entirely (exact dedup handles identical empty docs).
+    keep = np.repeat(nonempty, bands)
     return pa.table({
         "doc_id": pc.take(pa.array(ids, type=id_type),
-                          pa.array(np.repeat(np.arange(n), bands))),
-        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-        "band_hash": pa.array((band_hash.reshape(-1)
+                          pa.array(np.repeat(np.arange(n), bands)[keep])),
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)[keep]),
+        "band_hash": pa.array((band_hash.reshape(-1)[keep]
                                >> np.uint64(1)).astype(np.int64)),
     })
 
@@ -159,12 +182,27 @@ class MinHasher:
                           self.a, self.b)
 
 
-def _lsh_candidate_pairs(sig: rd.Dataset) -> list[tuple]:
-    """Band rows → unordered candidate pairs (a < b), without a per-bucket
-    map_groups (80k tiny groups cost more than the data): a vectorized
-    two-phase bucket COUNT finds colliding buckets, a broadcast is_in filter
-    keeps only their rows (small, by LSH's contract), and pair expansion runs
-    driver-side on the survivors."""
+def _lsh_candidate_pairs(sig: rd.Dataset,
+                         max_bucket: int = 2048) -> list[tuple]:
+    """Band rows → unordered candidate pairs (a < b), distributed end-to-end:
+
+    1. a vectorized two-phase bucket COUNT finds colliding buckets (no
+       per-bucket map_groups over the ~10⁵ singleton buckets — per-group
+       overhead would dominate);
+    2. a broadcast is_in filter keeps only colliding-bucket rows (small, by
+       LSH's contract);
+    3. pair EXPANSION runs inside ``groupby(key).map_groups`` over those hot
+       buckets — the O(bucket²) work never touches the driver. Buckets larger
+       than ``max_bucket`` unique ids (one pathological hot bucket of N
+       identical docs would otherwise emit N²/2 pairs) are truncated to the
+       first ``max_bucket`` sorted ids, with the drop logged worker-side —
+       exact dedup is the right tool for such a bucket's contents.
+
+    The driver sees only the deduplicated candidate-pair list (≪ corpus by
+    LSH's contract), never the bucket contents.
+    """
+    import logging
+
     from ..hashing import stable_hash_ints
     from ..stages.agg import group_count
 
@@ -189,14 +227,27 @@ def _lsh_candidate_pairs(sig: rd.Dataset) -> list[tuple]:
     def keep_hot(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch["key"], value_set=ray.get(hot_arr)))
 
-    cand = keyed.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
-    pairs: set = set()
-    for _k, g in cand.groupby("key"):
-        ids = sorted(set(g["doc_id"]))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    return sorted(pairs)
+    def expand(group: pa.Table) -> pa.Table:
+        ids = pc.unique(group["doc_id"])
+        ids = ids.take(pc.array_sort_indices(ids))
+        if len(ids) > max_bucket:
+            logging.getLogger(__name__).warning(
+                "LSH bucket truncated: %d unique ids > max_bucket=%d "
+                "(%d pairs dropped)", len(ids), max_bucket,
+                (len(ids) * (len(ids) - 1) - max_bucket * (max_bucket - 1))
+                // 2)
+            ids = ids.slice(0, max_bucket)
+        ai, bj = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": ids.take(pa.array(ai)),
+                         "b": ids.take(pa.array(bj))})
+
+    pairs_df = (keyed.map_batches(keep_hot, batch_format="pyarrow")
+                .groupby("key").map_groups(expand, batch_format="pyarrow")
+                .to_pandas())
+    if pairs_df.empty:
+        return []
+    pairs_df = pairs_df.drop_duplicates().sort_values(["a", "b"])
+    return list(pairs_df.itertuples(index=False, name=None))
 
 
 def minhash_candidates(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
@@ -211,7 +262,12 @@ def minhash_candidates(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
 
 
 def ngram_jaccard(texts: dict, pairs: list[tuple], k: int = 3) -> list[dict]:
-    """Exact k-shingle Jaccard for candidate pairs (the verify stage)."""
+    """Exact k-shingle Jaccard for candidate pairs (the verify stage).
+
+    Empty-vs-empty (union == 0) is DEFINED as jaccard = 1.0, but zero-shingle
+    docs never reach here via LSH candidacy (``_band_rows`` drops them from
+    band emission); exact dedup is the operator for identical empty docs.
+    """
     ids = sorted(texts)
     sh, starts, n_out = text_shingle_hashes(
         pa.array([texts[d] for d in ids], type=pa.string()), k)
@@ -241,9 +297,10 @@ def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.7,
                          "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
     need = {x for p in pairs for x in p}
+    need_ref = ray.put(pa.array(sorted(need)))
 
     def project(batch: pa.Table) -> pa.Table:
-        mask = pa.array([d in need for d in batch["doc_id"].to_pylist()])
+        mask = pc.is_in(batch["doc_id"], value_set=ray.get(need_ref))
         return batch.filter(mask).select(["doc_id", text_col])
 
     texts = {r["doc_id"]: r[text_col]
@@ -285,24 +342,35 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
                            text_col: str = "text") -> pa.Table:
-    """Candidate pairs by 4×16-bit band blocking, verified by exact Hamming
-    distance ≤ max_hamming. Blocking guarantee: any pair with ≤3 differing
-    bits agrees on ≥1 of the 4 bands (pigeonhole)."""
+    """Candidate pairs by (max_hamming+1)-band blocking, verified by exact
+    Hamming distance ≤ max_hamming. Blocking guarantee (pigeonhole): any pair
+    with ≤ max_hamming differing bits agrees exactly on ≥1 of the
+    max_hamming+1 disjoint bands — the band count is DERIVED from
+    ``max_hamming`` so the guarantee holds for every value (selectivity
+    degrades as bands narrow; bounded at 63)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63] for 64-bit SimHash")
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    shifts = np.cumsum([0] + widths[:-1]).tolist()
+    masks = [(1 << w) - 1 for w in widths]
+
     sigs = ds.map_batches(lambda b: simhash_batch(b, text_col),
                           batch_format="pyarrow")
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         sh = batch["simhash"].to_numpy().astype(np.uint64)
         n = len(sh)
-        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        bands = np.tile(np.arange(n_bands, dtype=np.int32), n)
         chunks = np.concatenate([
-            ((sh >> np.uint64(16 * i)) & np.uint64(0xFFFF))[:, None]
-            for i in range(4)], axis=1).reshape(-1)
+            ((sh >> np.uint64(shifts[i])) & np.uint64(masks[i]))[:, None]
+            for i in range(n_bands)], axis=1).reshape(-1)
         return pa.table({
             "doc_id": pc.take(batch["doc_id"],
-                              pa.array(np.repeat(np.arange(n), 4))),
+                              pa.array(np.repeat(np.arange(n), n_bands))),
             "simhash": pc.take(batch["simhash"],
-                               pa.array(np.repeat(np.arange(n), 4))),
+                               pa.array(np.repeat(np.arange(n), n_bands))),
             "band": pa.array(bands, type=pa.int32()),
             "chunk": pa.array(chunks.astype(np.int64)),
         })
@@ -345,42 +413,125 @@ def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     return vals.reshape(-1, dim) if dim else vals.reshape(0, 0)
 
 
-def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
-                             col: str = "embedding",
-                             id_col: str = "vec_id") -> pa.Table:
-    """Pairs with cosine ≥ threshold: per-batch matmul against the broadcast
-    normalized matrix (brute force; see module docstring for the LSH-bucketed
-    scale path)."""
-    full = ds.to_arrow_refs()
-    tables = [ray.get(r) for r in full]
-    all_t = pa.concat_tables(tables).combine_chunks()
-    ids = all_t[id_col].to_numpy()
-    M = _embedding_matrix(all_t, col)
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    Mn = M / np.maximum(norms, 1e-12)
-    ref = ray.put((ids, Mn))
+def _hyperplane_bands(threshold: float, n_bits: int,
+                      target_recall: float) -> int:
+    """Number of independent hyperplane bands so a pair at exactly
+    ``threshold`` cosine is a candidate with probability ≥ target_recall.
 
-    def score(batch: pa.Table) -> pa.Table:
-        all_ids, Mn_b = ray.get(ref)
-        B = _embedding_matrix(batch, col)
-        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
-        sims = Bn @ Mn_b.T
-        bids = batch[id_col].to_numpy()
-        ai, bj = np.nonzero(sims >= threshold)
-        mask = bids[ai] < all_ids[bj]  # dedupe (a<b) and drop self-pairs
+    Per-bit agreement probability p = 1 - θ/π (Charikar's SimHash bound);
+    band match = p^n_bits; recall over L bands = 1-(1-p^b)^L. Low thresholds
+    are inherently unselective for hyperplane LSH (ρ = ln p₁ / ln p₂ → 1 as
+    θ → π/2): candidate volume, not correctness, degrades — size
+    ``threshold`` ≥ ~0.8 for true 100 TB runs.
+    """
+    theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    p_band = (1.0 - theta / np.pi) ** n_bits
+    if p_band >= 1.0:
+        return 1
+    L = int(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - p_band)))
+    return max(1, min(L, 512))
+
+
+class EmbeddingBander:
+    """Actor-pool stage: random-hyperplane band rows per vector.
+
+    Planes are built lazily on the first batch (dim discovered from the list
+    column) from a fixed seed — deterministic across actors and cluster
+    sizes. Emits (doc_id, band:int32, band_hash:int64) rows, the same layout
+    as MinHash band rows, feeding the shared distributed candidate machinery.
+    """
+
+    def __init__(self, n_bits: int, n_bands: int, seed: int = 13,
+                 col: str = "embedding", id_col: str = "vec_id") -> None:
+        self.n_bits, self.n_bands, self.seed = n_bits, n_bands, seed
+        self.col, self.id_col = col, id_col
+        self.planes: np.ndarray | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _embedding_matrix(batch, self.col)
+        n = M.shape[0]
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], batch[self.id_col].type),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal(
+                (M.shape[1], self.n_bits * self.n_bands))
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        bits = (Mn @ self.planes) > 0
+        packed = (bits.reshape(n, self.n_bands, self.n_bits).astype(np.int64)
+                  << np.arange(self.n_bits, dtype=np.int64)[None, None, :]
+                  ).sum(axis=2)
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table({
-            "a": pa.array(bids[ai][mask]),
-            "b": pa.array(all_ids[bj][mask]),
-            "cosine": pa.array(np.round(sims[ai, bj][mask], 4)),
+            "doc_id": ids.take(pa.array(np.repeat(np.arange(n),
+                                                  self.n_bands))),
+            "band": pa.array(np.tile(np.arange(self.n_bands, dtype=np.int32),
+                                     n)),
+            "band_hash": pa.array(packed.reshape(-1)),
         })
 
-    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
-    out = out.sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+
+def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
+                             col: str = "embedding", id_col: str = "vec_id",
+                             n_bits: int = 8, target_recall: float = 0.99,
+                             seed: int = 13) -> pa.Table:
+    """Pairs with cosine ≥ threshold — hyperplane-LSH bucketed scale path.
+
+    Plan: band-row map_batches (vectors never shuffle; band rows are 3 thin
+    columns) → shared distributed bucket-count + in-bucket pair expansion
+    (``_lsh_candidate_pairs``) → exact cosine verify over the gathered
+    candidate vectors only. The driver sees candidate pairs and candidate
+    vectors, never the corpus. Band count derives from (threshold,
+    target_recall): recall ≥ target_recall at the threshold, →1 above it;
+    the verify stage is exact, so precision is always 1.
+
+    Zero vectors share every bucket by construction; their pairs are emitted
+    (capped by ``max_bucket``) and rejected by the exact verify (cosine 0).
+    """
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    n_bands = _hyperplane_bands(threshold, n_bits, target_recall)
+    sig = ds.map_batches(
+        EmbeddingBander,
+        fn_constructor_kwargs=dict(n_bits=n_bits, n_bands=n_bands, seed=seed,
+                                   col=col, id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    pairs = _lsh_candidate_pairs(sig)
+    if not pairs:
+        return empty
+
+    need_ref = ray.put(pa.array(sorted({x for p in pairs for x in p})))
+
+    def gather(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[id_col], value_set=ray.get(need_ref))
+        return batch.filter(mask).select([id_col, col])
+
+    vecs: dict = {}
+    for bt in ds.map_batches(gather, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        M = _embedding_matrix(bt, col)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        for i, vid in enumerate(bt[id_col].to_pylist()):
+            vecs[vid] = Mn[i]
+
+    a_ids = [a for a, _ in pairs]
+    b_ids = [b for _, b in pairs]
+    va = np.stack([vecs[a] for a in a_ids])
+    vb = np.stack([vecs[b] for b in b_ids])
+    cos = np.einsum("ij,ij->i", va, vb)
+    keep = cos >= threshold
+    if not keep.any():
+        return empty
+    return pa.table({
+        "a": pa.array(np.asarray(a_ids)[keep]),
+        "b": pa.array(np.asarray(b_ids)[keep]),
+        "cosine": pa.array(np.round(cos[keep], 4)),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -499,10 +650,10 @@ def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
     if not pairs:
         return empty
     need = {x for p in pairs for x in p}
+    need_ref = ray.put(pa.array(sorted(need), type=pa.string()))
 
     def project(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["doc_id"],
-                        value_set=pa.array(sorted(need), type=pa.string()))
+        mask = pc.is_in(batch["doc_id"], value_set=ray.get(need_ref))
         return batch.filter(mask).select(["doc_id", "tokens"])
 
     shingle_sets: dict[str, set] = {}

@@ -112,7 +112,7 @@ class IVFIndex:
     """IVF coarse quantizer: k-means centroids trained driver-side on a
     seeded sample, assignment vectorized per batch (actor-pool stage shape).
 
-    The 100 TB path: train on a ``random_sample`` of the corpus (centroids
+    The 100 TB path: train on a bounded-size seeded sample (centroids
     are tiny), broadcast centroids, assign every vector to its nearest
     centroid in map_batches, and at query time score ONLY the vectors in the
     ``nprobe`` nearest clusters — the candidate set shrinks by
@@ -147,11 +147,21 @@ class IVFIndex:
 
 def ivf_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
              n_clusters: int = 16, nprobe: int = 4,
-             sample_frac: float = 0.25, seed: int = 11,
+             sample_size: int = 50_000, seed: int = 11,
              col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
-    """IVF ANN top-k: train coarse centroids on a seeded sample, score only
-    the ``nprobe`` clusters nearest the query. Recall < 1 by design."""
-    sample_rows = ds.random_sample(sample_frac, seed=seed).take_all()
+    """IVF ANN top-k: train coarse centroids on a BOUNDED seeded sample
+    (≤ ``sample_size`` vectors regardless of corpus size — the driver never
+    holds a corpus-proportional slice), score only the ``nprobe`` clusters
+    nearest the query. Recall < 1 by design."""
+    n = ds.count()  # metadata-only for parquet inputs
+    if n > sample_size:
+        # oversample slightly so the stream almost surely yields sample_size
+        # rows, then hard-cap with limit(): driver memory is O(sample_size)
+        frac = min(1.0, 1.2 * sample_size / n)
+        sampled = ds.random_sample(frac, seed=seed).limit(sample_size)
+    else:
+        sampled = ds
+    sample_rows = sampled.take_all()
     sample = np.array([r[col] for r in sample_rows], dtype=np.float64)
     index = IVFIndex.train(sample, n_clusters=n_clusters, seed=seed)
 

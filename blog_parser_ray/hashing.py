@@ -16,15 +16,22 @@ import pandas as pd
 import pyarrow as pa
 
 
-def stable_hash_strings(values) -> np.ndarray:
-    """uint64 stable hash of a string sequence (pa.Array/ChunkedArray/np/list)."""
+def stable_hash_strings(values, key: str | None = None) -> np.ndarray:
+    """uint64 stable hash of a string sequence (pa.Array/ChunkedArray/np/list).
+
+    ``key`` selects an independent SipHash key (16 chars) — two hashes with
+    different keys give an effective 128-bit content fingerprint (collision
+    probability ~n²/2¹²⁹; negligible at 10¹² rows), used by exact dedup.
+    """
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     if isinstance(values, pa.Array):
         arr = np.asarray(values.to_pylist(), dtype=object)
     else:
         arr = np.asarray(values, dtype=object)
-    return pd.util.hash_array(arr, categorize=True)
+    if key is None:
+        return pd.util.hash_array(arr, categorize=True)
+    return pd.util.hash_array(arr, categorize=True, hash_key=key)
 
 
 def stable_hash_ints(values) -> np.ndarray:
@@ -43,12 +50,15 @@ def stable_hash_one(value: str) -> int:
     return int(stable_hash_strings([value])[0])
 
 
-def hash_token_lists(tokens) -> np.ndarray:
+def hash_token_lists(tokens, seed: int = 0) -> np.ndarray:
     """Order-sensitive uint64 hash per row of a list<int32> column.
 
     Vectorized over the flat values buffer: mix(value, position) XOR-reduced
     per row, finalized with the row length — one pass, O(rows) output.
     Correct for sliced arrays (absolute offsets) and empty rows.
+
+    ``seed`` derives an independent hash family; two seeds give an effective
+    128-bit content fingerprint for exact dedup (collision ~n²/2¹²⁹).
     """
     import pyarrow as pa
 
@@ -60,6 +70,8 @@ def hash_token_lists(tokens) -> np.ndarray:
     lo, hi = offsets[0], offsets[-1]
     lengths = offsets[1:] - offsets[:-1]
     vals = values[lo:hi].astype(np.uint64)
+    if seed:
+        vals = stable_hash_ints(vals ^ np.uint64(seed))
     pos = (np.arange(hi - lo, dtype=np.uint64)
            - np.repeat((offsets[:-1] - lo).astype(np.uint64), lengths))
     with np.errstate(over="ignore"):

@@ -730,10 +730,11 @@ def knn_cosine(sf_dir: str):  # not bit-stable; equality is tested in pytest
     """Brute-force cosine top-10 around vec_id=0's embedding."""
     import pyarrow.parquet as pq
     from ..functions.knn import brute_force_topk
+    # row-group-pruned point read: only vec_id=0's row leaves storage
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    qvec = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))
-                      ["embedding"].to_pylist()[0], dtype=np.float64)
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(emb["embedding"].to_pylist()[0], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return brute_force_topk(ds, qvec, k=10)
 
@@ -742,10 +743,11 @@ def knn_cosine(sf_dir: str):  # not bit-stable; equality is tested in pytest
 def knn_lsh(sf_dir: str):
     import pyarrow.parquet as pq
     from ..functions.knn import lsh_topk
+    # row-group-pruned point read: only vec_id=0's row leaves storage
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    qvec = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))
-                      ["embedding"].to_pylist()[0], dtype=np.float64)
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(emb["embedding"].to_pylist()[0], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return lsh_topk(ds, qvec, k=10, n_bits=8, probe_bits=2)
 
@@ -1011,10 +1013,11 @@ def knn_ivf(sf_dir: str):
     import pyarrow.parquet as pq
     from ..functions.knn import ivf_topk
 
+    # row-group-pruned point read: only vec_id=0's row leaves storage
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    qvec = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))
-                      ["embedding"].to_pylist()[0], dtype=np.float64)
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(emb["embedding"].to_pylist()[0], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_topk(ds, qvec, k=10, n_clusters=8, nprobe=3)
 

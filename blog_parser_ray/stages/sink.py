@@ -12,8 +12,11 @@ task retry or a resumed run overwrites its own files and never touches other
 partitions' committed files (exactly-once effect without exactly-once
 execution; SURVEY.md §7.4 item 1).
 
-Fault injection for tests: set env ``BPR_FAIL_PARTITIONS="3,7"`` to crash the
-writer on those partition ids once per process (exercises retry/resume paths).
+Fault injection for tests: env ``BPR_FAIL_PARTITIONS="3,7"`` crashes the
+writer on those partition ids on EVERY attempt (a permanent failure — use it
+to test run-level failure and resume-after-fix); the ``fail_once`` kwarg
+crashes only the first attempt per partition (a marker file survives the task
+death), exercising Ray's task retry + idempotent-rename overwrite path.
 """
 
 from __future__ import annotations
@@ -100,18 +103,34 @@ def write_partition_sinks(table: pa.Table, out_dir: str, partition_id: int,
 def compact_sinks(out_dir: str, target_rows_per_file: int = 500_000) -> dict:
     """Post-run compaction (SURVEY.md §4.3): per-sink file count is
     O(partitions); after a run completes, coalesce each sink's part files
-    into ~target_rows_per_file files. Atomic per sink (write to a sibling
-    dir, swap). Run ONLY on a completed run — partition-suffixed files are
-    the resume unit, and compaction replaces them."""
+    into ~target_rows_per_file files. Run ONLY on a completed run —
+    partition-suffixed files are the resume unit, and compaction replaces
+    them — and never concurrently with readers of the sink dirs.
+
+    Crash-safety: the swap is two renames (src → src.old, then
+    src.compact → src), so a crash between them leaves ``sinks/{sink}``
+    momentarily ABSENT with the data intact in ``src.old``. Recovery is
+    automatic: on the next invocation (or any startup path that calls this),
+    a missing ``src`` with a surviving ``src.old`` is restored before
+    compaction proceeds. This trades a brief reader-visible gap for POSIX
+    portability (atomic dir-swap needs renameat2/symlink flips).
+    """
     import shutil
 
     import ray.data as rd
 
     sinks_root = os.path.join(out_dir, "sinks")
+    # recover any sink stranded by a crash between the two swap renames
+    for entry in sorted(os.listdir(sinks_root)):
+        if entry.endswith(".old"):
+            src = os.path.join(sinks_root, entry[: -len(".old")])
+            if not os.path.isdir(src):
+                os.replace(os.path.join(sinks_root, entry), src)
+
     report = {}
     for sink in sorted(os.listdir(sinks_root)):
         src = os.path.join(sinks_root, sink)
-        if not os.path.isdir(src):
+        if not os.path.isdir(src) or sink.endswith((".old", ".compact")):
             continue
         n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
         tmp = src + ".compact"

@@ -69,6 +69,70 @@ def test_embedding_near_dup_planted():
     assert (3, 30) in got
 
 
+def test_embedding_near_dup_matches_brute_force_fixture():
+    """Bucketed (hyperplane-LSH) path parity vs in-test numpy brute force on
+    the sf0.01 embeddings fixture at the query's threshold (0.5)."""
+    import os
+
+    import pyarrow.parquet as pq
+    sf = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(sf):
+        import pytest
+        pytest.skip("driver testdata not present")
+    t = pq.read_table(sf, columns=["vec_id", "embedding"])
+    emb = t["embedding"].combine_chunks()
+    dim = emb.offsets[1].as_py() - emb.offsets[0].as_py()
+    M = emb.values.to_numpy().astype(np.float64).reshape(-1, dim)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    S = Mn @ Mn.T
+    ids = t["vec_id"].to_numpy()
+    ai, bj = np.triu_indices(len(M), k=1)
+    keep = S[ai, bj] >= 0.5
+    expect = {(int(ids[i]), int(ids[j]))
+              for i, j in zip(ai[keep], bj[keep])}
+    pairs = dedup.embedding_near_dup_pairs(rd.from_arrow(t), threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    assert got == expect
+
+
+def test_simhash_generalized_bands():
+    t = _docs_with_dups()
+    # derived band count keeps the pigeonhole guarantee at max_hamming=5
+    pairs = dedup.simhash_near_dup_pairs(rd.from_arrow(t), max_hamming=5)
+    got = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    assert (0, 100) in got
+    import pytest
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_dup_pairs(rd.from_arrow(t), max_hamming=64)
+
+
+def test_lsh_empty_docs_not_candidates():
+    """Zero-shingle docs (empty token lists) must not collide into O(n²)
+    LSH pairs via the shared all-sentinel signature."""
+    from blog_parser_ray import schema as S
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"], type=pa.string()),
+        "tokens": pa.array([[], [], [], [0, 5, 6, 7, 8, 9, 1]],
+                           type=S.TOKENS_TYPE),
+    })
+    pairs = dedup.minhash_dedup_pairs_tokens(rd.from_arrow(t), threshold=0.0)
+    assert pairs.num_rows == 0
+
+
+def test_lsh_bucket_cap_truncates_hot_bucket():
+    """One pathological bucket of N identical docs expands at most
+    C(max_bucket, 2) pairs (drop is logged worker-side)."""
+    n = 10
+    sig = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "band": pa.array([0] * n, type=pa.int32()),
+        "band_hash": pa.array([42] * n, type=pa.int64()),
+    }))
+    pairs = dedup._lsh_candidate_pairs(sig, max_bucket=4)
+    assert len(pairs) == 6  # C(4,2)
+    assert all(a < b for a, b in pairs)
+
+
 def test_knn_brute_force_and_lsh():
     rng = np.random.default_rng(8)
     M = rng.standard_normal((200, 16))

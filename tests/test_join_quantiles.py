@@ -67,6 +67,15 @@ def test_compact_sinks(tmp_path):
     for sink in ("a", "b"):
         assert report[sink]["files_after"] < report[sink]["files_before"]
 
+    # crash between the two swap renames strands sinks/a in sinks/a.old;
+    # the next invocation restores it before compacting
+    a_dir = os.path.join(out, "sinks", "a")
+    os.replace(a_dir, a_dir + ".old")
+    assert not os.path.isdir(a_dir)
+    compact_sinks(out, target_rows_per_file=100)
+    recovered = rd.read_parquet(os.path.join(out, "sinks")).to_pandas()
+    assert sorted(before["x"]) == sorted(recovered["x"])
+
 
 def test_bloom_filter_rates_and_merge():
     from blog_parser_ray.functions.bloom import BloomFilter
