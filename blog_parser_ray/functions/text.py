@@ -80,35 +80,61 @@ _PROFILES: dict[str, str] = {
 
 
 class LangId:
-    """Actor-pool stage: profiles 'loaded' once per actor in __init__."""
+    """Actor-pool stage: profile matrix built once per actor in __init__;
+    ``__call__`` is fully vectorized — one per-row byte histogram built with
+    a single ``np.bincount`` over the batch's flat UTF-8 buffer (zero-copy
+    from Arrow), then one (rows × 128) @ (128 × langs) matmul. No per-row
+    Python. Ties break to the lexicographically smallest language (profile
+    columns are in sorted-lang order; argmax returns the first maximum)."""
 
     def __init__(self) -> None:
-        self.tables = {}
-        for lang, chars in _PROFILES.items():
-            w = np.zeros(128, dtype=np.float64)
+        self.langs = sorted(lang for lang in _PROFILES if lang != "zh")
+        W = np.zeros((128, len(self.langs)), dtype=np.float64)
+        for j, lang in enumerate(self.langs):
+            chars = _PROFILES[lang]
             for rank, ch in enumerate(chars):
-                w[ord(ch)] = len(chars) - rank
-            self.tables[lang] = w / (w.sum() or 1.0)
+                W[ord(ch), j] = len(chars) - rank
+            s = W[:, j].sum()
+            W[:, j] /= s or 1.0
+        self.W = W
+        self.lang_arr = np.array(self.langs + ["zh"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        langs = []
-        for t in texts:
-            b = t.encode("utf-8", "ignore")
-            ascii_ratio = sum(c < 128 for c in b) / max(len(b), 1)
-            if ascii_ratio < 0.6:
-                langs.append("zh")
-                continue
-            counts = np.bincount(
-                np.frombuffer(b, dtype=np.uint8).clip(max=127), minlength=128
-            ).astype(np.float64)
-            counts /= counts.sum() or 1.0
-            scores = {lang: float(np.dot(counts, w))
-                      for lang, w in self.tables.items() if lang != "zh"}
-            langs.append(max(sorted(scores), key=scores.get))
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        assert text.null_count == 0, "lang_id expects non-null text"
+        # Arrow strings ARE utf-8: read the offsets + data buffers directly
+        off_dtype = np.int64 if pa.types.is_large_string(text.type) else np.int32
+        off0 = text.offset  # sliced arrays start mid-buffer
+        offsets = np.frombuffer(text.buffers()[1], dtype=off_dtype,
+                                count=n + 1 + off0)[off0:].astype(np.int64)
+        data = np.frombuffer(text.buffers()[2], dtype=np.uint8,
+                             count=int(offsets[-1]))
+        lo = offsets[0]
+        flat = data[lo:offsets[-1]]
+        lengths = (offsets[1:] - offsets[:-1])
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+
+        clipped = np.minimum(flat, 127)
+        hist = np.bincount(row_idx * 128 + clipped,
+                           minlength=n * 128).reshape(n, 128).astype(np.float64)
+        n_ascii = hist.sum(axis=1) - np.bincount(
+            row_idx, weights=(flat >= 128).astype(np.float64), minlength=n)
+        totals = np.maximum(lengths.astype(np.float64), 1.0)
+        ascii_ratio = n_ascii / totals
+        hist /= np.maximum(hist.sum(axis=1, keepdims=True), 1.0)
+
+        # round before argmax: scores equal up to summation-order ulps are
+        # TIES and must break to the first (lexicographically smallest) lang
+        # identically on every BLAS kernel / batch split
+        scores = np.round(hist @ self.W, 12)
+        pick = scores.argmax(axis=1)
+        pick = np.where(ascii_ratio < 0.6, len(self.langs), pick)
         return pa.table({
             "doc_id": batch["doc_id"],
-            "lang_pred": pa.array(langs, type=pa.string()),
+            "lang_pred": pa.array(self.lang_arr[pick], type=pa.string()),
         })
 
 

@@ -3,13 +3,17 @@
 - as-of join: each left row matched to the latest right row with
   right_ts <= left_ts. Physical plans: BROADCAST (right side small → sorted
   array + ``np.searchsorted`` per batch, fully vectorized, no shuffle) and
-  KEYED (both sides bucketed by key → ``pd.merge_asof`` per group).
-- session windows: gap-based sessionization per key via
-  ``groupby(key).map_groups`` over ts-sorted groups (batch recompute — Ray
-  Data has no event-time streaming; ordering assumption: within one group all
-  rows are presented together, which groupby guarantees).
-- rank-in-group (latest-N-per-key): ``map_groups`` with a total-order sort —
-  deterministic ties via the id column.
+  KEYED (both sides hash-bucketed into P partitions → ONE
+  ``pd.merge_asof(by=key)`` per partition — vectorized across every key in
+  the partition).
+- session windows / rank-in-group: the same hash-partition pattern. The
+  unavoidable cost is one row shuffle on the key; the avoidable cost — a
+  Python/pandas invocation per key over ~10⁵ tiny groups — is removed by
+  grouping on ``hash(key) % P`` (P ≈ cluster parallelism, default 64) and
+  running numpy segment diff/cumsum over ALL keys of a partition at once
+  (the offsets pattern stages/parse.py uses). Skewed keys cost one fat
+  partition, not a fat group: rows within a partition are processed by
+  vectorized kernels, so partition size, not key cardinality, bounds work.
 """
 
 from __future__ import annotations
@@ -17,8 +21,31 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.types as pat
 import ray
 import ray.data as rd
+
+DEFAULT_PARTITIONS = 64
+
+
+def _with_pid(ds: rd.Dataset, key: str,
+              n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """Append ``_pid = stable_hash(key) % n_parts`` (process-stable hash —
+    Python's salted hash() must never partition)."""
+    from ..hashing import stable_hash_ints, stable_hash_strings
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pat.is_integer(col.type):
+            h = stable_hash_ints(col.to_numpy().astype(np.int64))
+        else:
+            h = stable_hash_strings(col)
+        pid = (h % np.uint64(n_parts)).astype(np.int64)
+        return batch.append_column("_pid", pa.array(pid))
+
+    return ds.map_batches(add_pid, batch_format="pyarrow")
 
 
 def asof_join_broadcast(left: rd.Dataset, right: pa.Table, *,
@@ -55,11 +82,13 @@ def asof_join_broadcast(left: rd.Dataset, right: pa.Table, *,
 
 
 def asof_join_keyed(left: rd.Dataset, right: rd.Dataset, *, key: str,
-                    left_ts: str, right_ts: str) -> rd.Dataset:
-    """Keyed as-of via co-grouping: tag sides, pad both to ONE explicit
-    schema (a union of mismatched block schemas silently misaligns columns),
-    union, groupby(key), merge_asof per group. Both sides shuffle once on
-    ``key``; salt hot keys by range-splitting the time axis if needed."""
+                    left_ts: str, right_ts: str,
+                    n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """Keyed as-of via hash-bucketed co-grouping: tag sides, pad both to ONE
+    explicit schema (a union of mismatched block schemas silently misaligns
+    columns), union, groupby(hash(key) % P), then a single
+    ``pd.merge_asof(by=key)`` per partition — vectorized across all keys in
+    the partition, not one pandas call per key. Both sides shuffle once."""
     l_cols = left.schema().names
     r_cols = right.schema().names
     r_only = [c for c in r_cols if c not in l_cols]
@@ -78,47 +107,81 @@ def asof_join_keyed(left: rd.Dataset, right: rd.Dataset, *, key: str,
     both = (left.map_batches(pad(0, l_cols), batch_format="pandas")
             .union(right.map_batches(pad(1, r_cols), batch_format="pandas")))
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0][l_cols].sort_values(left_ts)
-        rg = g[g["_side"] == 1][[c for c in r_cols]].sort_values(right_ts)
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        lg = (g[g["_side"] == 0][l_cols]
+              .sort_values(left_ts, kind="mergesort"))
+        rg = (g[g["_side"] == 1][[c for c in r_cols]]
+              .sort_values(right_ts, kind="mergesort"))
         if lg.empty:
             return pd.DataFrame(columns=all_cols)
-        rg = rg.drop(columns=[c for c in (key,) if c in rg.columns])
-        merged = pd.merge_asof(lg, rg, left_on=left_ts, right_on=right_ts)
+        if rg.empty:
+            out = lg.copy()
+            for c in r_only:
+                out[c] = np.nan
+            return out[all_cols]
+        merged = pd.merge_asof(lg, rg, left_on=left_ts, right_on=right_ts,
+                               by=key)
         return merged[all_cols]
 
-    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+    return (_with_pid(both, key, n_parts)
+            .groupby("_pid").map_groups(per_part, batch_format="pandas"))
 
 
 def session_windows(events: rd.Dataset, *, key: str = "user_id",
-                    ts_col: str = "ts", gap_minutes: int = 30) -> rd.Dataset:
+                    ts_col: str = "ts", gap_minutes: int = 30,
+                    n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
     """Gap-based sessions per key → (key, sess:int64, cnt:int64).
 
-    sess numbering = 1 + number of gap-breaks before the row, matching the
-    SQL ``SUM(brk) OVER (PARTITION BY key ORDER BY ts)`` oracle.
+    sess numbering = 1 + number of gap-breaks before the row within the key,
+    matching the SQL ``SUM(brk) OVER (PARTITION BY key ORDER BY ts)`` oracle.
+    One shuffle on hash(key) % P; per-partition work is a sort plus numpy
+    diff/cumsum over all of the partition's keys at once.
     """
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap = np.timedelta64(gap_minutes * 60 * 1_000_000_000, "ns")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        brk = (g[ts_col].diff() > gap) | g[ts_col].diff().isna()
-        sess = brk.cumsum().astype("int64")
-        out = (pd.DataFrame({key: g[key], "sess": sess})
-               .groupby([key, "sess"], as_index=False).size()
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        kv = g[key].to_numpy()
+        ts = g[ts_col].to_numpy()
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = kv[1:] != kv[:-1]
+        dt = np.empty(len(g), dtype="timedelta64[ns]")
+        dt[0] = np.timedelta64(0, "ns")
+        dt[1:] = ts[1:] - ts[:-1]
+        brk = new_key | (dt > gap)
+        sess_global = np.cumsum(brk)
+        # session number restarts at 1 on each key: subtract the running
+        # value at the key's first row (carried forward by maximum.accumulate)
+        first = np.where(new_key, sess_global, 0)
+        first = np.maximum.accumulate(first)
+        sess = (sess_global - first + 1).astype(np.int64)
+        out = (pd.DataFrame({key: kv, "sess": sess})
+               .groupby([key, "sess"], as_index=False, sort=False).size()
                .rename(columns={"size": "cnt"}))
         out["cnt"] = out["cnt"].astype("int64")
         return out
 
-    return events.groupby(key).map_groups(per_user, batch_format="pandas")
+    return (_with_pid(events, key, n_parts)
+            .groupby("_pid").map_groups(per_part, batch_format="pandas"))
 
 
 def latest_per_key(ds: rd.Dataset, *, key: str, order_col: str,
-                   tiebreak: str, out_cols: list[str]) -> rd.Dataset:
-    """Top-1 per key by (order_col DESC, tiebreak DESC) — rank-in-group with a
-    deterministic total order (SURVEY.md §7.4 item 5)."""
+                   tiebreak: str, out_cols: list[str],
+                   n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """Top-1 per key by (order_col DESC, tiebreak DESC) — rank-in-group with
+    a deterministic total order (SURVEY.md §7.4 item 5). One shuffle on
+    hash(key) % P; per-partition work is one sort + a shift-compare mask over
+    all keys at once (no per-key pandas)."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tiebreak], ascending=[False, False])
-        return g.head(1)[out_cols]
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col, tiebreak],
+                          ascending=[True, False, False], kind="mergesort")
+        kv = g[key].to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = kv[1:] != kv[:-1]
+        return g.loc[first, out_cols]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(per_part, batch_format="pandas"))

@@ -50,6 +50,17 @@ def _seq_ds(sf_dir: str) -> rd.Dataset:
             .map_batches(tokenize_documents, batch_format="pyarrow"))
 
 
+def _collect_table(ds: rd.Dataset, empty: pa.Table) -> pa.Table:
+    """Collect a SMALL result Dataset into one Arrow table, preserving the
+    declared schema when the result is empty (an empty Ray Dataset's
+    to_pandas() drops columns, which breaks schema comparison). Use only on
+    final, already-reduced results — never mid-pipeline."""
+    tables = [b for b in ds.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")
+              if b.num_rows]
+    return pa.concat_tables(tables).combine_chunks() if tables else empty
+
+
 def _cents(col):
     """floor(x*100 + 0.5) as int64 — exact-summable money representation."""
     return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
@@ -462,16 +473,16 @@ INTERSECT
 SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 """)
 def intersect_keys(sf_dir: str):
-    """U2 intersect on keys = semi-join over distincts."""
-    import ray
+    """U2 intersect: per-block distinct partials → one presence-flag groupby
+    (functions/setops.py) — no driver-side key sets on either side."""
+    from ..functions.setops import key_intersect
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    bkeys = set(cust.map_batches(
+    bldg = cust.map_batches(
         lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
         .select(["c_custkey"]), batch_format="pyarrow")
-        .unique("c_custkey"))
-    okeys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
-    vals = sorted(bkeys & okeys)
-    return pa.table({"custkey": pa.array(vals, type=pa.int64())})
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    return key_intersect(orders, bldg, "c_custkey", out_name="custkey")
 
 
 @q("except_keys", """
@@ -480,11 +491,16 @@ EXCEPT
 SELECT o_custkey AS custkey FROM orders
 """)
 def except_keys(sf_dir: str):
-    """U3 except on keys = anti-join over distincts."""
-    ckeys = set(_read(sf_dir, "customer", ["c_custkey"]).unique("c_custkey"))
-    okeys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
-    vals = sorted(ckeys - okeys)
-    return pa.table({"custkey": pa.array(vals, type=pa.int64())})
+    """U3 except: per-block distinct partials → one presence-flag groupby
+    (functions/setops.py) — no driver-side key sets on either side."""
+    from ..functions.setops import key_except
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    out = key_except(cust, orders, "c_custkey", out_name="custkey")
+    # the EXCEPT result can be legitimately empty; collect it so the schema
+    # survives (compute above is fully distributed)
+    return _collect_table(out, pa.table({"custkey": pa.array([], pa.int64())}))
 
 
 @q("dedup_docs", """

@@ -153,6 +153,44 @@ def test_knn_brute_force_and_lsh():
     assert len(overlap) >= 3
 
 
+def test_lang_id_vectorized_matches_per_row_reference():
+    """The batched histogram+matmul path must equal a per-row reference with
+    the same tie rule (round 12 decimals, first max in sorted-lang order),
+    including on sliced (non-zero-offset) Arrow batches."""
+    from blog_parser_ray.functions.text import _PROFILES, LangId
+
+    texts = ["the quick brown fox", "le chat est sur la table",
+             "", "a", "中文文本中文文本",
+             "data sort merge join"] * 4
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    tables = {}
+    for lang, chars in _PROFILES.items():
+        w = np.zeros(128)
+        for rank, ch in enumerate(chars):
+            w[ord(ch)] = len(chars) - rank
+        tables[lang] = w / (w.sum() or 1.0)
+
+    def ref_one(s: str) -> str:
+        b = s.encode("utf-8", "ignore")
+        ar = sum(c < 128 for c in b) / max(len(b), 1)
+        if ar < 0.6:
+            return "zh"
+        counts = np.bincount(np.frombuffer(b, dtype=np.uint8).clip(max=127),
+                             minlength=128).astype(float)
+        counts /= counts.sum() or 1.0
+        scores = {lg: round(float(np.dot(counts, w)), 12)
+                  for lg, w in tables.items() if lg != "zh"}
+        return max(sorted(scores), key=scores.get)
+
+    li = LangId()
+    for batch in (t, t.slice(3, 10), t.slice(7)):
+        batch = batch.combine_chunks()
+        got = li(batch)["lang_pred"].to_pylist()
+        want = [ref_one(s) for s in batch["text"].to_pylist()]
+        assert got == want
+
+
 def test_fingerprint_is_order_sensitive_and_deterministic():
     t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
                   "text": pa.array(["a b c", "c b a", "a b c"])})

@@ -51,6 +51,17 @@ def test_exact_quantiles_match_numpy():
         assert qs[q] == float(s[int(np.floor((len(s) - 1) * q))])
 
 
+def test_key_setops_distributed():
+    from blog_parser_ray.functions.setops import key_except, key_intersect
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3, 4],
+                                              type=pa.int64())})).repartition(3)
+    b = rd.from_arrow(pa.table({"k": pa.array([2, 4, 5],
+                                              type=pa.int64())})).repartition(2)
+    assert sorted(key_intersect(a, b, "k").to_pandas()["k"]) == [2, 4]
+    assert sorted(key_except(a, b, "k").to_pandas()["k"]) == [1, 3]
+    assert sorted(key_except(b, a, "k", out_name="x").to_pandas()["x"]) == [5]
+
+
 def test_compact_sinks(tmp_path):
     out = str(tmp_path / "out")
     for sink in ("a", "b"):
