@@ -4,19 +4,21 @@ n-gram Jaccard verify, embedding-cosine near-dup.
 Scale notes (the partitioning assumptions each op relies on):
 
 - ``exact_dedup``: two-phase winner selection — per-block (hash, min_key)
-  partials, then a tiny groupby over partials, then a BROADCAST winner-set
-  filter. Only (hash, key) pairs ever shuffle; full rows never do. At 100 TB
-  with too many winners to broadcast, swap the final filter for a
-  hash-partitioned semi-join on the content hash (same key both sides).
+  partials, then a tiny groupby over partials, then a winner-set filter with
+  two physical plans: BROADCAST while winners fit one object, else a
+  hash-partitioned semi-join (both implemented; threshold
+  ``broadcast_limit``). Only (hash, key) pairs ever shuffle; full rows never
+  do on the broadcast plan, once each on the semi-join plan.
 - ``minhash_lsh`` / ``simhash``: signature computation is embarrassingly
   parallel map_batches; candidate generation is a groupby on (band, band_hash)
   — band hashes are uniform by construction, so no salting needed. Candidate
-  PAIR verification assumes the candidate set is orders of magnitude smaller
-  than the corpus (the point of LSH); verification joins signatures back by
-  doc_id via broadcast at test scale, hash-partitioned join at cluster scale.
-- ``embedding_near_dup``: brute-force is per-batch matmul against a broadcast
-  matrix (fine to ~10⁵ vectors); the scale path buckets by random-hyperplane
-  signatures first so only same-bucket pairs are scored.
+  PAIR expansion runs distributed inside the bucket groupby (capped per
+  bucket); only the expanded pair list — orders of magnitude smaller than
+  the corpus, LSH's contract — and the candidate payloads reach the driver
+  for the exact verify.
+- ``embedding_near_dup``: hyperplane-LSH bucketed — band rows (3 thin
+  columns) shuffle, vectors never do; candidates verified by exact cosine.
+  Band count derives from (threshold, target_recall).
 """
 
 from __future__ import annotations
@@ -35,15 +37,24 @@ from ..hashing import stable_hash_strings
 # ---------------------------------------------------------------------------
 
 
-def _dedup_by_hash(ds: rd.Dataset, hash_fns, key_col: str) -> rd.Dataset:
+def _dedup_by_hash(ds: rd.Dataset, hash_fns, key_col: str,
+                   broadcast_limit: int = 5_000_000) -> rd.Dataset:
     """Two-phase winner dedup: per-block (content-hash, min key) partials →
-    tiny groupby → broadcast winner-key filter. Only (hash, key) pairs ever
-    shuffle; full rows never do.
+    tiny groupby → winner-key filter. Only (hash, key) pairs ever shuffle;
+    full rows never do.
 
     ``hash_fns`` is a PAIR of independent 64-bit content hashes; rows are
     identical iff both agree — an effective 128-bit fingerprint, so the
     silent-drop probability from hash collisions is ~n²/2¹²⁹ (≈10⁻¹⁵ even at
     n=10¹² rows), versus birthday-expected collisions at 64 bits.
+
+    The winner filter has two physical plans, chosen by winner count:
+    BROADCAST (winners ≤ ``broadcast_limit``: one ray.put, zero-copy is_in
+    per task — no row shuffle) and PARTITIONED SEMI-JOIN (hash-partitioned
+    inner join of the corpus against the distinct winner keys — winners are
+    unique, so the inner join IS a semi-join; both sides shuffle once on
+    ``key_col``). The fallback keeps driver and per-task memory independent
+    of winner cardinality at 10⁹–10¹²-row scale.
     """
     h1_fn, h2_fn = hash_fns
 
@@ -56,7 +67,20 @@ def _dedup_by_hash(ds: rd.Dataset, hash_fns, key_col: str) -> rd.Dataset:
 
     winners_ds = (ds.map_batches(partial, batch_format="pyarrow")
                   .groupby(["h1", "h2"])
-                  .aggregate(Min("winner", alias_name="winner")))
+                  .aggregate(Min("winner", alias_name="winner"))
+                  .materialize())
+
+    if winners_ds.count() > broadcast_limit:
+        from .join import equi_join
+        winner_keys = winners_ds.map_batches(
+            lambda b: pa.table({"_winner": b["winner"]}),
+            batch_format="pyarrow")
+        joined = equi_join(ds, winner_keys, left_on=key_col,
+                           right_on="_winner", how="inner")
+        keep_cols = ds.schema().names
+        return joined.map_batches(lambda b: b.select(keep_cols),
+                                  batch_format="pyarrow")
+
     winners = pa.concat_tables(
         [ray.get(r) for r in winners_ds.to_arrow_refs()])["winner"]
     winner_ref = ray.put(winners.combine_chunks())
@@ -72,7 +96,8 @@ _HASH_KEY_2 = "bpr-dedup-key-2!"  # 16 chars: independent SipHash family
 
 
 def exact_dedup(ds: rd.Dataset, content_col: str = "text",
-                key_col: str = "doc_id") -> rd.Dataset:
+                key_col: str = "doc_id",
+                broadcast_limit: int = 5_000_000) -> rd.Dataset:
     """U4: keep the min-``key_col`` row per distinct ``content_col`` value.
 
     Deterministic winner; matches SQL
@@ -83,11 +108,12 @@ def exact_dedup(ds: rd.Dataset, content_col: str = "text",
         ds,
         (lambda b: stable_hash_strings(b[content_col]),
          lambda b: stable_hash_strings(b[content_col], key=_HASH_KEY_2)),
-        key_col)
+        key_col, broadcast_limit=broadcast_limit)
 
 
 def exact_dedup_tokens(ds: rd.Dataset, tokens_col: str = "tokens",
-                       key_col: str = "doc_id") -> rd.Dataset:
+                       key_col: str = "doc_id",
+                       broadcast_limit: int = 5_000_000) -> rd.Dataset:
     """U4 over the flagship payload: dedup by token-array content, hashed
     with the vectorized order-sensitive list hash (hashing.hash_token_lists)
     — the token payload itself never shuffles."""
@@ -97,7 +123,7 @@ def exact_dedup_tokens(ds: rd.Dataset, tokens_col: str = "tokens",
         ds,
         (lambda b: hash_token_lists(b[tokens_col]),
          lambda b: hash_token_lists(b[tokens_col], seed=0x5DEECE66D)),
-        key_col)
+        key_col, broadcast_limit=broadcast_limit)
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,19 @@ def test_exact_dedup_planted():
     assert 0 in set(out["doc_id"])
 
 
+def test_exact_dedup_semi_join_fallback():
+    """broadcast_limit=0 forces the hash-partitioned winner semi-join plan;
+    output must equal the broadcast plan exactly."""
+    t = _docs_with_dups()
+    ds = rd.from_arrow(t).repartition(4)
+    via_join = dedup.exact_dedup(ds, "text", "doc_id",
+                                 broadcast_limit=0).to_pandas()
+    via_bcast = dedup.exact_dedup(rd.from_arrow(t), "text",
+                                  "doc_id").to_pandas()
+    assert sorted(via_join["doc_id"]) == sorted(via_bcast["doc_id"])
+    assert list(via_join.columns) == list(via_bcast.columns)
+
+
 def test_minhash_finds_planted_pairs():
     t = _docs_with_dups()
     pairs = dedup.minhash_dedup_pairs(rd.from_arrow(t), threshold=0.5)
