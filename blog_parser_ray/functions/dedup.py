@@ -208,29 +208,30 @@ class MinHasher:
                           self.a, self.b)
 
 
-def _lsh_candidate_pairs(sig: rd.Dataset,
-                         max_bucket: int = 2048) -> list[tuple]:
-    """Band rows → unordered candidate pairs (a < b), distributed end-to-end:
+def _lsh_candidate_pairs(sig: rd.Dataset, max_bucket: int = 2048,
+                         n_parts: int = 64) -> list[tuple]:
+    """Band rows → unordered candidate pairs (a < b), distributed in ONE
+    shuffle: band rows are grouped by ``bucket_key % n_parts`` (n_parts ≈
+    cluster parallelism, NOT one group per bucket — per-group overhead over
+    ~10⁵ mostly-singleton buckets would dominate), and each partition runs a
+    vectorized sort + segment-boundary scan that skips singleton buckets and
+    expands colliding ones with ``np.triu_indices``. No count pre-pass, no
+    driver-held hot-key set: the expansion never touches the driver, and
+    nothing driver-side scales with bucket-count cardinality.
 
-    1. a vectorized two-phase bucket COUNT finds colliding buckets (no
-       per-bucket map_groups over the ~10⁵ singleton buckets — per-group
-       overhead would dominate);
-    2. a broadcast is_in filter keeps only colliding-bucket rows (small, by
-       LSH's contract);
-    3. pair EXPANSION runs inside ``groupby(key).map_groups`` over those hot
-       buckets — the O(bucket²) work never touches the driver. Buckets larger
-       than ``max_bucket`` unique ids (one pathological hot bucket of N
-       identical docs would otherwise emit N²/2 pairs) are truncated to the
-       first ``max_bucket`` sorted ids, with the drop logged worker-side —
-       exact dedup is the right tool for such a bucket's contents.
+    Buckets larger than ``max_bucket`` ids (one pathological bucket of N
+    identical docs would otherwise emit N²/2 pairs) are truncated to the
+    first ``max_bucket`` sorted ids, the drop logged worker-side — exact
+    dedup is the right tool for such a bucket's contents.
 
     The driver sees only the deduplicated candidate-pair list (≪ corpus by
     LSH's contract), never the bucket contents.
     """
     import logging
 
+    import pandas as pd
+
     from ..hashing import stable_hash_ints
-    from ..stages.agg import group_count
 
     def key_col(batch: pa.Table) -> pa.Table:
         bh = batch["band_hash"].to_numpy().astype(np.uint64)
@@ -238,38 +239,39 @@ def _lsh_candidate_pairs(sig: rd.Dataset,
         with np.errstate(over="ignore"):
             key = stable_hash_ints(bh ^ (band * np.uint64(0x9E3779B97F4A7C15)))
         return pa.table({"key": pa.array(key.astype(np.int64)),
-                         "doc_id": batch["doc_id"]})
+                         "doc_id": batch["doc_id"],
+                         "_pid": pa.array((key % np.uint64(n_parts))
+                                          .astype(np.int64))})
 
-    # the band-row index (2 small cols × bands-per-doc rows) is consumed
-    # twice (count, then filter); materialize so signatures compute once.
-    # It is ~1% of corpus bytes — object-store-resident and spillable.
-    keyed = sig.map_batches(key_col, batch_format="pyarrow").materialize()
-    counts = group_count(keyed, ["key"], alias="c").to_pandas()
-    hot = counts.loc[counts["c"] > 1, "key"].to_numpy()
-    if len(hot) == 0:
-        return []
-    hot_arr = ray.put(pa.array(np.sort(hot)))
+    keyed = sig.map_batches(key_col, batch_format="pyarrow")
 
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch["key"], value_set=ray.get(hot_arr)))
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        k = g["key"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        sizes = np.diff(np.r_[starts, len(k)])
+        a_out, b_out = [], []
+        for s in np.flatnonzero(sizes > 1):
+            m = int(sizes[s])
+            if m > max_bucket:
+                logging.getLogger(__name__).warning(
+                    "LSH bucket truncated: %d ids > max_bucket=%d "
+                    "(%d pairs dropped)", m, max_bucket,
+                    (m * (m - 1) - max_bucket * (max_bucket - 1)) // 2)
+                m = max_bucket
+            ids = d[starts[s]:starts[s] + m]
+            ai, bj = np.triu_indices(m, k=1)
+            a_out.append(ids[ai])
+            b_out.append(ids[bj])
+        if not a_out:
+            return pd.DataFrame({"a": np.array([], dtype=d.dtype),
+                                 "b": np.array([], dtype=d.dtype)})
+        return pd.DataFrame({"a": np.concatenate(a_out),
+                             "b": np.concatenate(b_out)})
 
-    def expand(group: pa.Table) -> pa.Table:
-        ids = pc.unique(group["doc_id"])
-        ids = ids.take(pc.array_sort_indices(ids))
-        if len(ids) > max_bucket:
-            logging.getLogger(__name__).warning(
-                "LSH bucket truncated: %d unique ids > max_bucket=%d "
-                "(%d pairs dropped)", len(ids), max_bucket,
-                (len(ids) * (len(ids) - 1) - max_bucket * (max_bucket - 1))
-                // 2)
-            ids = ids.slice(0, max_bucket)
-        ai, bj = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": ids.take(pa.array(ai)),
-                         "b": ids.take(pa.array(bj))})
-
-    pairs_df = (keyed.map_batches(keep_hot, batch_format="pyarrow")
-                .groupby("key").map_groups(expand, batch_format="pyarrow")
-                .to_pandas())
+    pairs_df = (keyed.groupby("_pid")
+                .map_groups(per_part, batch_format="pandas").to_pandas())
     if pairs_df.empty:
         return []
     pairs_df = pairs_df.drop_duplicates().sort_values(["a", "b"])
