@@ -1209,22 +1209,23 @@ FROM orders o JOIN win w ON CAST(o.o_orderdate AS TIMESTAMP) = w.d
 def orders_event_window(sf_dir: str):
     """Range join: events falling in [o_orderdate, +1 day) per order.
 
-    Physical plan: count events per DISTINCT date window via two
-    searchsorteds over each batch's sorted-timestamp view (vectorized, no
-    row explosion), merge partial counts, broadcast the (date → count) map
-    back onto orders. The range join never materializes the event×order
-    cross product."""
-    import pyarrow.parquet as pq
-
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_orderdate"])
-    dates = pc.unique(orders["o_orderdate"].combine_chunks()
-                      if isinstance(orders["o_orderdate"], pa.ChunkedArray)
-                      else orders["o_orderdate"])
-    d_np = np.sort(dates.to_numpy(zero_copy_only=False))
-    lo_ref, hi_ref = d_np, d_np + np.timedelta64(1, "D")
+    Physical plan: the DISTINCT date domain (bounded: per-block uniques →
+    driver union, never full rows) defines the windows; events count into
+    windows via two searchsorteds over each batch's sorted-timestamp view
+    (vectorized, no row explosion); the tiny (date → count) map broadcasts
+    back onto a STREAMED pass over orders with one searchsorted per batch.
+    Neither table is materialized driver-side; the range join never builds
+    the event×order cross product."""
     import ray
-    bounds_ref = ray.put((lo_ref, hi_ref))
+
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    date_blocks = orders_ds.map_batches(
+        lambda b: pa.table({"d": pc.unique(b["o_orderdate"])}),
+        batch_format="pyarrow")
+    d_np = np.sort(np.unique(np.concatenate(
+        [b["d"].to_numpy(zero_copy_only=False) for b in
+         date_blocks.iter_batches(batch_size=None, batch_format="pyarrow")])))
+    bounds_ref = ray.put((d_np, d_np + np.timedelta64(1, "D")))
 
     ev = _read(sf_dir, "events", ["ts"])
 
@@ -1239,13 +1240,20 @@ def orders_event_window(sf_dir: str):
     win = (ev.map_batches(partial, batch_format="pyarrow")
            .groupby("d").aggregate(Sum("partial", alias_name="ev_cnt"))
            .to_pandas())
-    cnt_by_date = dict(zip(win["d"], win["ev_cnt"]))
-    odates = orders["o_orderdate"].to_pandas()
-    return pa.table({
-        "o_orderkey": orders["o_orderkey"],
-        "ev_cnt": pa.array([int(cnt_by_date.get(d, 0)) for d in odates],
-                           type=pa.int64()),
-    })
+    # every window date appears in win (partials emit all dates per batch)
+    cnt = np.zeros(len(d_np), dtype=np.int64)
+    cnt[np.searchsorted(d_np, win["d"].to_numpy())] = win["ev_cnt"].to_numpy()
+    map_ref = ray.put((d_np, cnt))
+
+    def attach(b: pa.Table) -> pa.Table:
+        dd, cc = ray.get(map_ref)
+        od = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "ev_cnt": pa.array(cc[np.searchsorted(dd, od)]),
+        })
+
+    return orders_ds.map_batches(attach, batch_format="pyarrow")
 
 
 @q("ntok_hist_by_sink", f"""
