@@ -76,7 +76,8 @@ def _dedup_by_hash(ds: rd.Dataset, hash_fns, key_col: str,
             lambda b: pa.table({"_winner": b["winner"]}),
             batch_format="pyarrow")
         joined = equi_join(ds, winner_keys, left_on=key_col,
-                           right_on="_winner", how="inner")
+                           right_on="_winner", how="inner",
+                           broadcast_limit=0)  # winners outgrew broadcast
         keep_cols = ds.schema().names
         return joined.map_batches(lambda b: b.select(keep_cols),
                                   batch_format="pyarrow")

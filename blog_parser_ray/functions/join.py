@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from ..hashing import stable_hash_ints, stable_hash_strings
@@ -33,10 +35,30 @@ def _bucket_col(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
 
 def equi_join(left: rd.Dataset, right: rd.Dataset, *, left_on: str,
               right_on: str, num_partitions: int = 8,
-              how: str = "inner") -> rd.Dataset:
-    """Equi-join with graceful degradation: native ``Dataset.join`` (Ray
-    ≥2.46) when present/compatible, else the portable bucketed plan below —
-    one interface per SURVEY.md §7.4 item 6."""
+              how: str = "inner",
+              broadcast_limit: int = 1_000_000) -> rd.Dataset:
+    """Equi-join with plan selection (SURVEY.md §7.4 item 6, one interface):
+
+    1. BROADCAST hash join when the right side is small (≤ broadcast_limit
+       rows) AND unique on its key — ships the build side once via ray.put,
+       no shuffle of either side; the standard small-dim optimizer rule.
+    2. Native ``Dataset.join`` (Ray ≥2.46) — partitioned hash join, both
+       sides shuffle once. Pass ``broadcast_limit=0`` to force this plan.
+    3. The portable bucketed plan below when the native join is
+       unavailable/incompatible.
+    """
+    if how in ("inner", "left") and broadcast_limit:
+        try:
+            n_right = right.count()
+        except Exception:
+            n_right = None
+        if n_right is not None and n_right <= broadcast_limit:
+            rt = pa.concat_tables(
+                [ray.get(r) for r in right.to_arrow_refs()]).combine_chunks()
+            if len(pc.unique(rt[right_on])) == n_right:
+                return broadcast_hash_join(left, rt, left_on=left_on,
+                                           right_on=right_on, how=how)
+            # duplicate build keys need row expansion → shuffle plan
     try:
         return left.join(right, join_type=how, num_partitions=num_partitions,
                          on=(left_on,), right_on=(right_on,))
@@ -44,6 +66,32 @@ def equi_join(left: rd.Dataset, right: rd.Dataset, *, left_on: str,
         return bucketed_hash_join(left, right, left_on=left_on,
                                   right_on=right_on,
                                   num_buckets=num_partitions * 4, how=how)
+
+
+def broadcast_hash_join(left: rd.Dataset, right: pa.Table, *, left_on: str,
+                        right_on: str, how: str = "inner") -> rd.Dataset:
+    """Small-side broadcast hash join: the build table is put in the object
+    store ONCE and read zero-copy by every task; each batch does one
+    vectorized ``pc.index_in`` + ``pc.take``. Requires the build side unique
+    on ``right_on`` (callers verify; ``equi_join`` falls back otherwise).
+    ``how='left'`` emits nulls for unmatched rows; ``'inner'`` drops them."""
+    ref = ray.put(right)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        idx = pc.index_in(batch[left_on], value_set=r[right_on])
+        if how == "inner":
+            valid = pc.is_valid(idx)
+            batch = batch.filter(valid)
+            idx = idx.filter(valid)
+        out = batch
+        for c in r.column_names:
+            if c in batch.column_names:
+                continue
+            out = out.append_column(c, pc.take(r[c], idx))
+        return out
+
+    return left.map_batches(fn, batch_format="pyarrow")
 
 
 def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, *,

@@ -285,7 +285,10 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """)
 def orders_customers(sf_dir: str):
-    """J2 hash join (Dataset.join) + A6 grouped aggregate."""
+    """J2 hash join + A6 grouped aggregate. equi_join's plan selection picks
+    the BROADCAST hash join here (customer is dim-sized and unique on its
+    key — no shuffle of either side); orders_by_nation pins the partitioned
+    Dataset.join plan."""
     from ..functions.join import equi_join
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -901,15 +904,19 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY n_name
 """)
 def orders_by_nation(sf_dir: str):
-    """Chained hash joins (J2 ×2): orders ⋈ customer ⋈ nation → counts."""
+    """Chained hash joins (J2 ×2): orders ⋈ customer ⋈ nation → counts.
+    broadcast_limit=0 pins the native PARTITIONED Dataset.join plan so the
+    big⋈big shuffle path keeps a driver-oracle row (orders_customers covers
+    the broadcast plan)."""
     from ..functions.join import equi_join
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    oc = equi_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+    oc = equi_join(orders, cust, left_on="o_custkey", right_on="c_custkey",
+                   broadcast_limit=0)
     ocn = equi_join(oc, nation, left_on="c_nationkey",
-                    right_on="n_nationkey")
+                    right_on="n_nationkey", broadcast_limit=0)
     return agg.group_count(ocn, ["n_name"], alias="cnt")
 
 
