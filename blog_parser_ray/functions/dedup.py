@@ -127,6 +127,60 @@ def exact_dedup_tokens(ds: rd.Dataset, tokens_col: str = "tokens",
         key_col, broadcast_limit=broadcast_limit)
 
 
+def apply_pair_dedup(ds: rd.Dataset, pairs, key_col: str = "doc_id",
+                     broadcast_limit: int = 5_000_000) -> rd.Dataset:
+    """Apply verified near-dup PAIRS to the corpus: union-find the pairs into
+    connected components, keep the min-``key_col`` member of each component,
+    drop the rest — the step that turns a pair list into a deduplicated
+    corpus.
+
+    Pairs are ≪ corpus by LSH's contract, so the union-find runs driver-side
+    over the pair list only (the corpus never leaves the cluster); the loser
+    set broadcasts via ray.put for a zero-copy is_in filter per batch, with
+    the same partitioned anti-join escape hatch as exact dedup if losers ever
+    outgrow broadcast. Deterministic: min-key winner per component.
+    """
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by key order keeps the min key at the root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    losers = sorted({x for x in parent if find(x) != x})
+    if not losers:
+        return ds
+    if len(losers) > broadcast_limit:
+        # partitioned ANTI join: left_outer against the loser keys with a
+        # match marker, keep the unmatched (null-marker) rows — loser keys
+        # are unique so no row expansion; the join key column itself is
+        # coalesced by the native join, hence the separate marker
+        loser_ds = rd.from_arrow(pa.table({
+            "_loser": pa.array(losers),
+            "_hit": pa.array(np.ones(len(losers), dtype=np.int8))}))
+        kept = ds.join(loser_ds, join_type="left_outer", num_partitions=16,
+                       on=(key_col,), right_on=("_loser",))
+        keep_cols = ds.schema().names
+        return kept.map_batches(
+            lambda b: b.filter(pc.is_null(b["_hit"])).select(keep_cols),
+            batch_format="pyarrow")
+    loser_ref = ray.put(pa.array(losers))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ls = ray.get(loser_ref)
+        return batch.filter(pc.invert(pc.is_in(batch[key_col], value_set=ls)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (near-dup candidates) and n-gram Jaccard (verify)
 # ---------------------------------------------------------------------------

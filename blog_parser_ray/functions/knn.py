@@ -58,6 +58,59 @@ def brute_force_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
     })
 
 
+def brute_force_topk_multi(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
+                           col: str = "embedding", id_col: str = "vec_id",
+                           ) -> pa.Table:
+    """Batched top-k for MANY query vectors in one corpus pass.
+
+    The (q × dim) query matrix broadcasts once via ray.put; each batch does
+    ONE (rows × dim) @ (dim × q) matmul and emits its per-query local top-k
+    (a combiner) — the driver merge sees O(k × blocks × q) rows, never the
+    corpus. Returns (query_id, id_col, sim r4) sorted by
+    (query_id, -sim, id); ties break by id ascending.
+    """
+    Q = np.asarray(queries, dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(Qn)
+    nq = Q.shape[0]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        M = _embedding_matrix(batch, col)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if M.shape[0] == 0:
+            return empty
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = Mn @ Qm.T                      # (rows, q)
+        ids = batch[id_col].to_numpy()
+        kk = min(k, sims.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (kk, q)
+        qid = np.tile(np.arange(sims.shape[1], dtype=np.int64), kk)
+        rows = part.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(qid),
+            id_col: pa.array(ids[rows]),
+            "sim": pa.array(sims[rows, qid]),
+        })
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out_q, out_id, out_sim = [], [], []
+    for q in range(nq):
+        g = cand[cand["query_id"] == q]
+        top = heapq.nsmallest(k, g.to_dict("records"),
+                              key=lambda r: (-r["sim"], r[id_col]))
+        out_q += [q] * len(top)
+        out_id += [r[id_col] for r in top]
+        out_sim += [round(r["sim"], 4) for r in top]
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        id_col: pa.array(out_id, type=pa.int64()),
+        "sim": pa.array(out_sim, type=pa.float64()),
+    })
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures for bucketed ANN (actor-pool stage)."""
 

@@ -730,6 +730,34 @@ def dedup_minhash(sf_dir: str):
     return minhash_dedup_pairs(ds, threshold=0.5)
 
 
+@q("dedup_near_apply")  # rows-only: LSH pipeline, no SQL equivalent
+def dedup_near_apply(sf_dir: str):
+    """Near-dedup APPLIED end-to-end: MinHash+LSH pairs → union-find
+    connected components → corpus with only the min-doc_id survivor of each
+    component (functions/dedup.py apply_pair_dedup)."""
+    from ..functions.dedup import apply_pair_dedup, minhash_dedup_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    pairs_tbl = minhash_dedup_pairs(ds, threshold=0.5)
+    pairs = list(zip(pairs_tbl["a"].to_pylist(), pairs_tbl["b"].to_pylist()))
+    return apply_pair_dedup(ds, pairs, key_col="doc_id")
+
+
+@q("knn_multi")  # rows-only: float cosine not bit-stable vs SQL
+def knn_multi(sf_dir: str):
+    """Batched similarity search: top-10 for 4 query vectors in ONE corpus
+    pass (functions/knn.py brute_force_topk_multi)."""
+    import pyarrow.parquet as pq
+    from ..functions.knn import brute_force_topk_multi
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", [0, 1, 2, 3])])
+    order = np.argsort(emb["vec_id"].to_numpy())
+    Q = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)[order]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk_multi(ds, Q, k=10)
+
+
 @q("dedup_simhash")  # rows-only
 def dedup_simhash(sf_dir: str):
     from ..functions.dedup import simhash_near_dup_pairs

@@ -108,6 +108,41 @@ def test_embedding_near_dup_matches_brute_force_fixture():
     assert got == expect
 
 
+def test_apply_pair_dedup_components():
+    """Pairs (1,2),(2,3),(5,6) → components {1,2,3} and {5,6}; min-key
+    survivors 1 and 5; both the broadcast and the partitioned anti-join
+    plans must agree."""
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+                  "text": pa.array(list("abcdef"))})
+    pairs = [(1, 2), (2, 3), (5, 6)]
+    for limit in (5_000_000, 0):
+        out = dedup.apply_pair_dedup(rd.from_arrow(t), pairs,
+                                     key_col="doc_id",
+                                     broadcast_limit=limit).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 4, 5]
+        assert list(out.columns) == ["doc_id", "text"]
+    # no pairs → unchanged
+    same = dedup.apply_pair_dedup(rd.from_arrow(t), [], "doc_id").to_pandas()
+    assert sorted(same["doc_id"]) == [1, 2, 3, 4, 5, 6]
+
+
+def test_knn_multi_matches_single_query():
+    rng = np.random.default_rng(21)
+    M = rng.standard_normal((150, 16))
+    t = pa.table({"vec_id": pa.array(range(150), type=pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in M],
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    multi = knn.brute_force_topk_multi(ds, M[[4, 9]], k=5).to_pylist()
+    for qi, src in ((0, 4), (1, 9)):
+        single = knn.brute_force_topk(rd.from_arrow(t), M[src],
+                                      k=5).to_pylist()
+        got = [(r["vec_id"], r["sim"]) for r in multi
+               if r["query_id"] == qi]
+        want = [(r["vec_id"], r["sim"]) for r in single]
+        assert got == want
+
+
 def test_simhash_generalized_bands():
     t = _docs_with_dups()
     # derived band count keeps the pigeonhole guarantee at max_hamming=5
