@@ -51,6 +51,31 @@ def test_exact_quantiles_match_numpy():
         assert qs[q] == float(s[int(np.floor((len(s) - 1) * q))])
 
 
+def test_equi_join_plan_selection():
+    """Broadcast plan (small unique build) and partitioned plan must agree;
+    a duplicate-keyed build side must NOT broadcast (needs row expansion)."""
+    from blog_parser_ray.functions.join import equi_join
+    left = pa.table({"k": pa.array([1, 2, 2, 3, 9], type=pa.int64()),
+                     "lv": pa.array([10, 20, 21, 30, 90], type=pa.int64())})
+    right_uniq = pa.table({"rk": pa.array([1, 2, 3, 4], type=pa.int64()),
+                           "rv": pa.array(["a", "b", "c", "d"])})
+    bcast = equi_join(rd.from_arrow(left), rd.from_arrow(right_uniq),
+                      left_on="k", right_on="rk").to_pandas()
+    shuf = equi_join(rd.from_arrow(left), rd.from_arrow(right_uniq),
+                     left_on="k", right_on="rk",
+                     broadcast_limit=0).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]].to_numpy()))
+    assert key(bcast) == key(shuf)
+    assert len(bcast) == 4  # k=9 unmatched dropped
+
+    right_dup = pa.table({"rk": pa.array([2, 2, 3], type=pa.int64()),
+                          "rv": pa.array(["x", "y", "z"])})
+    out = equi_join(rd.from_arrow(left), rd.from_arrow(right_dup),
+                    left_on="k", right_on="rk").to_pandas()
+    # k=2 appears twice on each side → 4 expanded rows, plus k=3 → 1
+    assert len(out) == 5
+
+
 def test_key_setops_distributed():
     from blog_parser_ray.functions.setops import key_except, key_intersect
     a = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3, 4],
