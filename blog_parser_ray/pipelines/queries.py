@@ -742,6 +742,46 @@ def dedup_near_apply(sf_dir: str):
     return apply_pair_dedup(ds, pairs, key_col="doc_id")
 
 
+@q("media_features")  # rows-only: fake-decode features, no SQL equivalent
+def media_features(sf_dir: str):
+    """Multimodal pipeline end-to-end on the Ray side: deterministic synth
+    media table (seeded from sf_dir so rows are stable per scale) → actor-
+    pool Decoder(fake=True) → per-media_type feature means. Real codecs are
+    the documented NotImplementedError integration point
+    (functions/multimodal.py); everything around them is exercised here."""
+    import ray.data as rd
+
+    from ..functions.multimodal import FEATURE_DIM, Decoder, synth_media_table
+
+    n = 600 if "0.1" in sf_dir else 120
+    t = synth_media_table(n, seed=7)
+    decoded = rd.from_arrow(t).map_batches(
+        Decoder, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), num_cpus=1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        feats = b["features"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        M = feats.values.to_numpy().reshape(-1, FEATURE_DIM)
+        t2 = pa.table({
+            "media_type": b["media_type"],
+            "f0_sum": pa.array(M[:, 0]),
+            "ok": pc.cast(b["decode_ok"], pa.int64()),
+        })
+        g = t2.group_by(["media_type"]).aggregate(
+            [([], "count_all"), ("f0_sum", "sum"), ("ok", "sum")])
+        return g.rename_columns(["media_type", "p_cnt", "p_f0", "p_ok"])
+
+    from ray.data.aggregate import Sum
+    return (decoded.map_batches(partial, batch_format="pyarrow")
+            .groupby("media_type")
+            .aggregate(Sum("p_cnt", alias_name="cnt"),
+                       Sum("p_f0", alias_name="f0_sum"),
+                       Sum("p_ok", alias_name="decoded_ok")))
+
+
 @q("knn_multi")  # rows-only: float cosine not bit-stable vs SQL
 def knn_multi(sf_dir: str):
     """Batched similarity search: top-10 for 4 query vectors in ONE corpus
