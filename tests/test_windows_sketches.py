@@ -97,6 +97,41 @@ def test_session_windows_basic():
     assert out["cnt"].tolist() == [2, 1, 2]
 
 
+def test_session_windows_partitioning_invariant():
+    """Hash-partitioned sessionization must be invariant to the partition
+    count and to input block layout (every key lands wholly in one pid)."""
+    rng = np.random.default_rng(3)
+    n = 4000
+    users = rng.integers(0, 300, size=n)
+    base = pd.Timestamp("2024-03-01").value
+    ts = pd.to_datetime(base + np.sort(rng.integers(0, 3 * 86400,
+                                                    size=n)) * 10**9)
+    t = pa.table({"user_id": pa.array(users, type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us"))})
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["user_id", "sess"])
+        return list(map(tuple, df.to_numpy()))
+
+    a = norm(session_windows(rd.from_arrow(t), gap_minutes=30, n_parts=3))
+    b = norm(session_windows(rd.from_arrow(t).repartition(11),
+                             gap_minutes=30, n_parts=64))
+    assert a == b
+
+    from blog_parser_ray.functions.window import latest_per_key
+    t2 = pa.table({"k": pa.array(users, type=pa.int64()),
+                   "v": pa.array(rng.integers(0, 50, n), type=pa.int64()),
+                   "id": pa.array(range(n), type=pa.int64())})
+    la = (latest_per_key(rd.from_arrow(t2), key="k", order_col="v",
+                         tiebreak="id", out_cols=["k", "v", "id"], n_parts=5)
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    lb = (latest_per_key(rd.from_arrow(t2).repartition(7), key="k",
+                         order_col="v", tiebreak="id",
+                         out_cols=["k", "v", "id"], n_parts=64)
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(la, lb)
+
+
 def test_vocab_decode_roundtrip():
     docs = pq.read_table(f"{SF}/documents.parquet")
     seq = tokenize_documents(docs)
