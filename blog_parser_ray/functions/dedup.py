@@ -128,7 +128,8 @@ def exact_dedup_tokens(ds: rd.Dataset, tokens_col: str = "tokens",
 
 
 def apply_pair_dedup(ds: rd.Dataset, pairs, key_col: str = "doc_id",
-                     broadcast_limit: int = 5_000_000) -> rd.Dataset:
+                     broadcast_limit: int = 5_000_000,
+                     num_partitions: int | None = None) -> rd.Dataset:
     """Apply verified near-dup PAIRS to the corpus: union-find the pairs into
     connected components, keep the min-``key_col`` member of each component,
     drop the rest — the step that turns a pair list into a deduplicated
@@ -162,15 +163,33 @@ def apply_pair_dedup(ds: rd.Dataset, pairs, key_col: str = "doc_id",
         # partitioned ANTI join: left_outer against the loser keys with a
         # match marker, keep the unmatched (null-marker) rows — loser keys
         # are unique so no row expansion; the join key column itself is
-        # coalesced by the native join, hence the separate marker
-        loser_ds = rd.from_arrow(pa.table({
+        # coalesced by the native join, hence the separate marker. Falls
+        # back to the portable bucketed left join on Ray builds without
+        # Dataset.join (same degradation path as equi_join).
+        if num_partitions is None:
+            # the native join runs one aggregator actor per partition; more
+            # partitions than cluster CPUs deadlocks a small cluster
+            num_partitions = min(
+                64, max(2, int(ray.cluster_resources().get("CPU", 8))))
+        loser_tbl = pa.table({
             "_loser": pa.array(losers),
-            "_hit": pa.array(np.ones(len(losers), dtype=np.int8))}))
-        kept = ds.join(loser_ds, join_type="left_outer", num_partitions=16,
-                       on=(key_col,), right_on=("_loser",))
+            "_hit": pa.array(np.ones(len(losers), dtype=np.int8))})
+        loser_ds = rd.from_arrow(loser_tbl)
         keep_cols = ds.schema().names
+        try:
+            kept = ds.join(loser_ds, join_type="left_outer",
+                           num_partitions=num_partitions,
+                           on=(key_col,), right_on=("_loser",))
+        except (AttributeError, TypeError):
+            from .join import bucketed_hash_join
+            kept = bucketed_hash_join(ds, loser_ds, left_on=key_col,
+                                      right_on="_loser",
+                                      num_buckets=num_partitions, how="left")
+        # nan_is_null: the bucketed (pandas) fallback surfaces unmatched
+        # markers as NaN rather than arrow null
         return kept.map_batches(
-            lambda b: b.filter(pc.is_null(b["_hit"])).select(keep_cols),
+            lambda b: b.filter(pc.is_null(b["_hit"], nan_is_null=True))
+            .select(keep_cols),
             batch_format="pyarrow")
     loser_ref = ray.put(pa.array(losers))
 
@@ -507,11 +526,20 @@ def _hyperplane_bands(threshold: float, n_bits: int,
     θ → π/2): candidate volume, not correctness, degrades — size
     ``threshold`` ≥ ~0.8 for true 100 TB runs.
     """
+    import logging
+
     theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
     p_band = (1.0 - theta / np.pi) ** n_bits
     if p_band >= 1.0:
         return 1
     L = int(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - p_band)))
+    if L > 512:
+        achieved = 1.0 - (1.0 - p_band) ** 512
+        logging.getLogger(__name__).warning(
+            "hyperplane LSH band count capped at 512 (needed %d for recall "
+            "%.4f at threshold %.2f); achieved recall at the threshold is "
+            "~%.4f — raise the threshold or accept the lower recall",
+            L, target_recall, threshold, achieved)
     return max(1, min(L, 512))
 
 

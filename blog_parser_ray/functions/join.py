@@ -49,16 +49,20 @@ def equi_join(left: rd.Dataset, right: rd.Dataset, *, left_on: str,
     """
     if how in ("inner", "left") and broadcast_limit:
         try:
+            right = right.materialize()  # count + collect read ONE execution
             n_right = right.count()
         except Exception:
             n_right = None
         if n_right is not None and n_right <= broadcast_limit:
             rt = pa.concat_tables(
                 [ray.get(r) for r in right.to_arrow_refs()]).combine_chunks()
-            if len(pc.unique(rt[right_on])) == n_right:
+            keys = rt[right_on]
+            if (keys.null_count == 0
+                    and len(pc.unique(keys)) == n_right):
                 return broadcast_hash_join(left, rt, left_on=left_on,
                                            right_on=right_on, how=how)
-            # duplicate build keys need row expansion → shuffle plan
+            # duplicate or null build keys → shuffle plan (null keys must
+            # NOT match; pc.index_in would match null⋈null)
     try:
         return left.join(right, join_type=how, num_partitions=num_partitions,
                          on=(left_on,), right_on=(right_on,))
@@ -74,12 +78,16 @@ def broadcast_hash_join(left: rd.Dataset, right: pa.Table, *, left_on: str,
     store ONCE and read zero-copy by every task; each batch does one
     vectorized ``pc.index_in`` + ``pc.take``. Requires the build side unique
     on ``right_on`` (callers verify; ``equi_join`` falls back otherwise).
-    ``how='left'`` emits nulls for unmatched rows; ``'inner'`` drops them."""
+    ``how='left'`` emits nulls for unmatched rows; ``'inner'`` drops them.
+    Null probe keys never match (SQL equi-join semantics — ``pc.index_in``
+    alone would match a null probe to a null build key)."""
     ref = ray.put(right)
 
     def fn(batch: pa.Table) -> pa.Table:
         r = ray.get(ref)
         idx = pc.index_in(batch[left_on], value_set=r[right_on])
+        idx = pc.if_else(pc.is_valid(batch[left_on]), idx,
+                         pa.scalar(None, type=idx.type))
         if how == "inner":
             valid = pc.is_valid(idx)
             batch = batch.filter(valid)

@@ -11,8 +11,6 @@
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 import ray
@@ -27,35 +25,29 @@ def brute_force_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
     """Top-k rows by cosine similarity to a single query vector.
 
     Returns (id_col, sim:float64 rounded 4) sorted by (-sim, id). Determinism:
-    ties broken by id ascending.
+    ties broken by id ascending — enforced at the per-block combiner too, so
+    the result is invariant to block layout. Delegates to the batched
+    multi-query kernel with a 1-row query matrix.
     """
     q = np.asarray(query, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    q_ref = ray.put(qn)
+    out = brute_force_topk_multi(ds, q[None, :], k=k, col=col, id_col=id_col)
+    return out.select([id_col, "sim"])
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        qv = ray.get(q_ref)
-        M = _embedding_matrix(batch, col)
-        if M.shape[0] == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        sims = Mn @ qv
-        ids = batch[id_col].to_numpy()
-        if len(sims) > k:
-            part = np.argpartition(-sims, k)[:k]
-        else:
-            part = np.arange(len(sims))
-        return pa.table({id_col: pa.array(ids[part]),
-                         "sim": pa.array(sims[part])})
 
-    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    top = heapq.nsmallest(k, cand.to_dict("records"),
-                          key=lambda r: (-r["sim"], r[id_col]))
-    return pa.table({
-        id_col: pa.array([r[id_col] for r in top], type=pa.int64()),
-        "sim": pa.array([round(r["sim"], 4) for r in top], type=pa.float64()),
-    })
+def _topk_rows(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Row indices of the top-k by (-sim, id) — DETERMINISTIC under ties
+    (argpartition alone keeps an arbitrary tie member, which would make the
+    result depend on block layout)."""
+    if len(sims) > 4 * k:
+        # cheap pre-cut, keeping ALL rows tied with the k-th value so the
+        # deterministic tiebreak below still sees every tie candidate
+        part = np.argpartition(-sims, k - 1)
+        kth = sims[part[k - 1]]
+        cand = np.flatnonzero(sims >= kth)
+    else:
+        cand = np.arange(len(sims))
+    order = np.lexsort((ids[cand], -sims[cand]))[:k]
+    return cand[order]
 
 
 def brute_force_topk_multi(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
@@ -65,14 +57,14 @@ def brute_force_topk_multi(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
 
     The (q × dim) query matrix broadcasts once via ray.put; each batch does
     ONE (rows × dim) @ (dim × q) matmul and emits its per-query local top-k
-    (a combiner) — the driver merge sees O(k × blocks × q) rows, never the
-    corpus. Returns (query_id, id_col, sim r4) sorted by
-    (query_id, -sim, id); ties break by id ascending.
+    (a combiner, deterministic under ties) — the driver merge sees
+    O(k × blocks × q) rows, never the corpus. Returns (query_id, id_col,
+    sim r4) sorted by (query_id, -sim, id); ties break by id ascending,
+    invariant to block layout.
     """
     Q = np.asarray(queries, dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     q_ref = ray.put(Qn)
-    nq = Q.shape[0]
 
     def local_topk(batch: pa.Table) -> pa.Table:
         Qm = ray.get(q_ref)
@@ -85,29 +77,38 @@ def brute_force_topk_multi(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         sims = Mn @ Qm.T                      # (rows, q)
         ids = batch[id_col].to_numpy()
-        kk = min(k, sims.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (kk, q)
-        qid = np.tile(np.arange(sims.shape[1], dtype=np.int64), kk)
-        rows = part.reshape(-1)
+        qids, rows = [], []
+        for qi in range(sims.shape[1]):
+            top = _topk_rows(sims[:, qi], ids, k)
+            qids.append(np.full(len(top), qi, dtype=np.int64))
+            rows.append(top)
+        qid = np.concatenate(qids)
+        row = np.concatenate(rows)
         return pa.table({
             "query_id": pa.array(qid),
-            id_col: pa.array(ids[rows]),
-            "sim": pa.array(sims[rows, qid]),
+            id_col: pa.array(ids[row]),
+            "sim": pa.array(sims[row, qid]),
         })
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    out_q, out_id, out_sim = [], [], []
-    for q in range(nq):
-        g = cand[cand["query_id"] == q]
-        top = heapq.nsmallest(k, g.to_dict("records"),
-                              key=lambda r: (-r["sim"], r[id_col]))
-        out_q += [q] * len(top)
-        out_id += [r[id_col] for r in top]
-        out_sim += [round(r["sim"], 4) for r in top]
+    if cand.empty:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    qv = cand["query_id"].to_numpy()
+    iv = cand[id_col].to_numpy()
+    sv = cand["sim"].to_numpy()
+    # one global lexsort, then first k rows per query_id
+    order = np.lexsort((iv, -sv, qv))
+    qs, is_, ss = qv[order], iv[order], sv[order]
+    new_q = np.r_[True, qs[1:] != qs[:-1]]
+    rank = np.arange(len(qs)) - np.maximum.accumulate(
+        np.where(new_q, np.arange(len(qs)), 0))
+    keep = rank < k
     return pa.table({
-        "query_id": pa.array(out_q, type=pa.int64()),
-        id_col: pa.array(out_id, type=pa.int64()),
-        "sim": pa.array(out_sim, type=pa.float64()),
+        "query_id": pa.array(qs[keep], type=pa.int64()),
+        id_col: pa.array(is_[keep], type=pa.int64()),
+        "sim": pa.array(np.round(ss[keep], 4), type=pa.float64()),
     })
 
 

@@ -107,6 +107,18 @@ def asof_join_keyed(left: rd.Dataset, right: rd.Dataset, *, key: str,
     both = (left.map_batches(pad(0, l_cols), batch_format="pandas")
             .union(right.map_batches(pad(1, r_cols), batch_format="pandas")))
 
+    # every partition must emit IDENTICAL dtypes or the cross-partition
+    # concat silently promotes columns (int64 → float64, datetime64 →
+    # float64 NaN); right-only columns are nullable by left-join semantics,
+    # so normalize them to (datetime64 | float64 | object) everywhere
+    def norm_r_only(df: pd.DataFrame) -> pd.DataFrame:
+        for c in r_only:
+            if c == right_ts or pd.api.types.is_datetime64_any_dtype(df[c]):
+                df[c] = pd.to_datetime(df[c])
+            elif pd.api.types.is_numeric_dtype(df[c]):
+                df[c] = df[c].astype("float64")
+        return df
+
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         lg = (g[g["_side"] == 0][l_cols]
               .sort_values(left_ts, kind="mergesort"))
@@ -117,11 +129,11 @@ def asof_join_keyed(left: rd.Dataset, right: rd.Dataset, *, key: str,
         if rg.empty:
             out = lg.copy()
             for c in r_only:
-                out[c] = np.nan
-            return out[all_cols]
+                out[c] = pd.NaT if c == right_ts else np.nan
+            return norm_r_only(out[all_cols].copy())
         merged = pd.merge_asof(lg, rg, left_on=left_ts, right_on=right_ts,
                                by=key)
-        return merged[all_cols]
+        return norm_r_only(merged[all_cols].copy())
 
     return (_with_pid(both, key, n_parts)
             .groupby("_pid").map_groups(per_part, batch_format="pandas"))

@@ -753,8 +753,10 @@ def media_features(sf_dir: str):
 
     from ..functions.multimodal import FEATURE_DIM, Decoder, synth_media_table
 
-    n = 600 if "0.1" in sf_dir else 120
-    t = synth_media_table(n, seed=7)
+    # fixed size: the media table is synthetic (no parquet fixture exists),
+    # and a constant row count keeps the result identical across scales —
+    # never inferred from the path string
+    t = synth_media_table(240, seed=7)
     decoded = rd.from_arrow(t).map_batches(
         Decoder, fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow", batch_size=64,
