@@ -109,9 +109,18 @@ def asof_join_keyed(left: rd.Dataset, right: rd.Dataset, *, key: str,
 
     # every partition must emit IDENTICAL dtypes or the cross-partition
     # concat silently promotes columns (int64 → float64, datetime64 →
-    # float64 NaN); right-only columns are nullable by left-join semantics,
-    # so normalize them to (datetime64 | float64 | object) everywhere
+    # float64 NaN). Two sources of drift: (a) the padded union itself
+    # promotes LEFT columns (right-side rows carry NaN for them) — every
+    # output row is a genuine left row, so cast them back to the left
+    # schema; (b) right-only columns are nullable by left-join semantics —
+    # normalize them to (datetime64 | float64 | object) everywhere.
+    l_dtypes = (pa.schema(list(zip(left.schema().names, left.schema().types)))
+                .empty_table().to_pandas().dtypes.to_dict())
+
     def norm_r_only(df: pd.DataFrame) -> pd.DataFrame:
+        for c in l_cols:
+            if df[c].dtype != l_dtypes[c]:
+                df[c] = df[c].astype(l_dtypes[c])
         for c in r_only:
             if c == right_ts or pd.api.types.is_datetime64_any_dtype(df[c]):
                 df[c] = pd.to_datetime(df[c])

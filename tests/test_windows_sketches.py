@@ -97,6 +97,32 @@ def test_session_windows_basic():
     assert out["cnt"].tolist() == [2, 1, 2]
 
 
+def test_asof_keyed_empty_right_partitions_keep_dtypes():
+    """Keys whose hash partition has NO right rows must not flip right-only
+    columns to float64/NaN blocks (schema-conflict + silent int promotion)."""
+    from blog_parser_ray.functions.window import asof_join_keyed
+    n = 40
+    lts = pd.to_datetime(["2024-01-01 00:05"] * n)
+    left = pa.table({"user_id": pa.array(range(n), type=pa.int64()),
+                     "ev": pa.array(range(n), type=pa.int64()),
+                     "ts": pa.array(lts, type=pa.timestamp("us"))})
+    right = pa.table({"user_id": pa.array([0], type=pa.int64()),
+                      "rv": pa.array([7], type=pa.int64()),
+                      "ots": pa.array(pd.to_datetime(["2024-01-01 00:00"]),
+                                      type=pa.timestamp("us"))})
+    out = asof_join_keyed(rd.from_arrow(left), rd.from_arrow(right),
+                          key="user_id", left_ts="ts", right_ts="ots",
+                          n_parts=8).to_pandas()
+    assert len(out) == n
+    # left int column survives as int64; right ts column is datetime, not
+    # a float64 NaN block from the empty-right partitions
+    assert out["ev"].dtype == np.int64
+    assert pd.api.types.is_datetime64_any_dtype(out["ots"])
+    matched = out[out["user_id"] == 0]
+    assert matched["rv"].tolist() == [7.0]
+    assert out[out["user_id"] != 0]["rv"].isna().all()
+
+
 def test_session_windows_partitioning_invariant():
     """Hash-partitioned sessionization must be invariant to the partition
     count and to input block layout (every key lands wholly in one pid)."""
