@@ -69,20 +69,35 @@ def semi_join_bloom(fact: rd.Dataset, keys: rd.Dataset, *, fact_key: str,
                     key_col: str, capacity_hint: int | None = None,
                     fp_rate: float = 0.01,
                     exact_verify: bool = True) -> rd.Dataset:
-    """Keep fact rows whose key is (probably) in ``keys``.
+    """Keep fact rows whose key is (probably) in ``keys`` — without the
+    driver ever holding the key SET.
 
-    The filter is built from per-block partials merged by OR. With
-    ``exact_verify`` (default) a second exact `is_in` pass over the
-    (Bloom-shrunk) survivors removes false positives — the exact set only
-    needs to cover keys that SURVIVED the Bloom filter, which is what makes
-    this the scale path.
+    Build: each key block builds a same-shape partial Bloom filter inside
+    ``map_batches``; the driver ORs the fixed-size bitmaps (memory bounded
+    by the bitmap, ~10 bits/key at 1% FP, NOT by 8+ bytes/key of exact
+    keys). Filter: the merged bitmap broadcasts once; each fact batch does a
+    vectorized ``contains``. Verify (default): false positives are removed
+    by a partitioned semi-join of the Bloom-shrunk survivors against the
+    DISTINCT keys (``equi_join`` plan selection: broadcast if the distinct
+    keys are dim-sized, shuffle otherwise) — no driver-side exact key set at
+    any stage.
     """
-    key_vals = keys.unique(key_col)
-    cap = capacity_hint or max(len(key_vals), 1)
+    import pyarrow.compute as pc
+
+    keys = keys.materialize()  # consumed twice: count/build + verify join
+    cap = capacity_hint or max(keys.count(), 1)
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        pb = BloomFilter(cap, fp_rate)
+        pb.add(batch[key_col])
+        return pa.table({"bits": pa.array([pb.bits.tobytes()],
+                                          type=pa.binary())})
+
     bf = BloomFilter(cap, fp_rate)
-    if key_vals:
-        arr = pa.array(key_vals)
-        bf.add(arr)
+    for b in (keys.map_batches(partial_bloom, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for buf in b["bits"].to_pylist():
+            bf.bits |= np.frombuffer(buf, dtype=np.uint8)
     bf_ref = ray.put(bf)
 
     def bloom_pass(batch: pa.Table) -> pa.Table:
@@ -91,13 +106,16 @@ def semi_join_bloom(fact: rd.Dataset, keys: rd.Dataset, *, fact_key: str,
 
     out = fact.map_batches(bloom_pass, batch_format="pyarrow")
     if exact_verify:
-        import pyarrow.compute as pc
+        from .join import equi_join
 
-        exact_ref = ray.put(pa.array(sorted(key_vals)))
-
-        def verify(batch: pa.Table) -> pa.Table:
-            ks = ray.get(exact_ref)
-            return batch.filter(pc.is_in(batch[fact_key], value_set=ks))
-
-        out = out.map_batches(verify, batch_format="pyarrow")
+        uniq = (keys.map_batches(
+            lambda b: pa.table({"_sk": pc.unique(b[key_col])}),
+            batch_format="pyarrow")
+            .groupby("_sk").count()
+            .map_batches(lambda b: b.select(["_sk"]), batch_format="pyarrow"))
+        fact_cols = fact.schema().names
+        out = equi_join(out, uniq, left_on=fact_key, right_on="_sk",
+                        how="inner")
+        out = out.map_batches(lambda b: b.select(fact_cols),
+                              batch_format="pyarrow")
     return out

@@ -207,15 +207,6 @@ def apply_pair_dedup(ds: rd.Dataset, pairs, key_col: str = "doc_id",
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    words = text.split()
-    if len(words) < k:
-        return stable_hash_strings([" ".join(words)]) if words else \
-            np.array([], dtype=np.uint64)
-    shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    return np.unique(stable_hash_strings(shingles))
-
-
 def _perm_params(num_perm: int, seed: int = 7):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64) | np.uint64(1)
@@ -477,20 +468,32 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
             "chunk": pa.array(chunks.astype(np.int64)),
         })
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        rows = sorted({(d, s) for d, s in zip(group["doc_id"].to_pylist(),
-                                              group["simhash"].to_pylist())})
-        a, b, ham = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
-                if d <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    ham.append(d)
-        return pa.table({"a": pa.array(a, type=group["doc_id"].type),
-                         "b": pa.array(b, type=group["doc_id"].type),
-                         "hamming": pa.array(ham, type=pa.int32())})
+    def pairs_in_bucket(group: pa.Table, max_bucket: int = 2048) -> pa.Table:
+        """Vectorized in-bucket verify: triu pair expansion + popcount via
+        a uint8 view (no per-pair Python). Buckets beyond ``max_bucket``
+        ids truncate with a worker-side log, like the MinHash path — N
+        identical docs otherwise emit N²/2 pairs per band; exact dedup is
+        the operator for those."""
+        import logging
+
+        df = (group.select(["doc_id", "simhash"]).to_pandas()
+              .drop_duplicates().sort_values("doc_id"))
+        if len(df) > max_bucket:
+            logging.getLogger(__name__).warning(
+                "SimHash bucket truncated: %d ids > max_bucket=%d",
+                len(df), max_bucket)
+            df = df.iloc[:max_bucket]
+        ids = df["doc_id"].to_numpy()
+        sigs = df["simhash"].to_numpy().astype(np.uint64)
+        ai, bj = np.triu_indices(len(ids), k=1)
+        x = (sigs[ai] ^ sigs[bj]).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int32)
+        keep = ham <= max_hamming
+        return pa.table({"a": pa.array(ids[ai[keep]],
+                                       type=group["doc_id"].type),
+                         "b": pa.array(ids[bj[keep]],
+                                       type=group["doc_id"].type),
+                         "hamming": pa.array(ham[keep], type=pa.int32())})
 
     pairs = (sigs.map_batches(explode_bands, batch_format="pyarrow")
              .groupby(["band", "chunk"])
@@ -506,13 +509,27 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
 
 
 def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(rows × dim) float64 view of a list<float> column. The dim comes from
+    the LONGEST row and every row must match it — a ragged or empty-row
+    batch raises loudly instead of mis-reshaping (the first row's length is
+    NOT trusted: a leading empty list would silently give dim=0)."""
     emb = batch[col]
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
-    offs = emb.offsets.to_numpy()
-    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    offs = emb.offsets.to_numpy().astype(np.int64)
+    lengths = offs[1:] - offs[:-1]
+    if len(lengths) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    dim = int(lengths.max())
+    if dim == 0:
+        return np.zeros((len(lengths), 0), dtype=np.float64)
+    if not (lengths == dim).all():
+        raise ValueError(
+            f"ragged embedding column {col!r}: row lengths "
+            f"{sorted(set(lengths.tolist()))[:5]}... expected all == {dim}")
     vals = emb.values.to_numpy().astype(np.float64)
-    return vals.reshape(-1, dim) if dim else vals.reshape(0, 0)
+    lo = offs[0]
+    return vals[lo:lo + dim * len(lengths)].reshape(-1, dim)
 
 
 def _hyperplane_bands(threshold: float, n_bits: int,
@@ -704,23 +721,51 @@ def token_shingle_hashes(tokens, k: int = 3):
 
 def text_shingle_hashes(text_col, k: int = 3):
     """Word-shingle hashes of a string column, vectorized: split → per-word
-    stable hash → k-window combine (same machinery as token shingles)."""
+    stable hash → k-window combine (same machinery as token shingles).
+
+    Empty/whitespace-only docs get ZERO shingles: ``pc.split_pattern``
+    (unlike ``str.split``) returns [''] for an empty string, which would
+    give every blank doc the identical fallback shingle and an O(n²) LSH
+    pair blowup — exact dedup is the operator for identical blank docs.
+    """
     from ..hashing import stable_hash_ints
 
     words = pc.split_pattern(text_col, " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     offsets = words.offsets.to_numpy().astype(np.int64)
-    wh = stable_hash_strings(words.flatten())
-    # short-row fallback: xor-fold of the row's word hashes, mixed
+    flat = words.flatten()
+    wh = stable_hash_strings(flat)
     lengths = offsets[1:] - offsets[:-1]
+    # blank row = every "word" is the empty string (split of ""/whitespace)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonblank = np.zeros(len(lengths), dtype=bool)
+    if wlen.size:
+        csum = np.concatenate([[0], np.cumsum(wlen)])
+        nonblank = (csum[offsets[1:]] - csum[offsets[:-1]]) > 0
+    # short-row fallback: xor-fold of the row's word hashes, mixed
     fold = np.zeros(len(lengths), dtype=np.uint64)
     nonempty = lengths > 0
     if wh.size:
         fold[nonempty] = np.bitwise_xor.reduceat(
             wh, offsets[:-1][nonempty])
     fold = stable_hash_ints(fold ^ lengths.astype(np.uint64))
-    return _window_shingles(wh, offsets, k, fold)
+    sh, starts, n_out = _window_shingles(wh, offsets, k, fold)
+    # zero out blank rows AFTER the window pass: their shingles are dropped
+    # by compacting the output (n_out=0 rows emit nothing downstream)
+    if (~nonblank).any():
+        new_n = np.where(nonblank, n_out, 0)
+        keep_idx = np.flatnonzero(nonblank)
+        counts = n_out[keep_idx]
+        total = int(counts.sum())
+        local = (np.arange(total, dtype=np.int64)
+                 - np.repeat(np.concatenate([[0], np.cumsum(counts)])[:-1],
+                             counts))
+        idx = np.repeat(starts[keep_idx], counts) + local
+        sh = sh[idx]
+        starts = np.concatenate([[0], np.cumsum(new_n)])[:-1]
+        n_out = new_n
+    return sh, starts, n_out
 
 
 class TokenMinHasher:

@@ -63,10 +63,15 @@ def equi_join(left: rd.Dataset, right: rd.Dataset, *, left_on: str,
                                            right_on=right_on, how=how)
             # duplicate or null build keys → shuffle plan (null keys must
             # NOT match; pc.index_in would match null⋈null)
+    # Ray's native join names outer joins "left_outer"/"right_outer"; keep
+    # the pandas-style "left"/"right" at this interface
+    native_how = {"left": "left_outer", "right": "right_outer",
+                  "outer": "full_outer"}.get(how, how)
     try:
-        return left.join(right, join_type=how, num_partitions=num_partitions,
+        return left.join(right, join_type=native_how,
+                         num_partitions=num_partitions,
                          on=(left_on,), right_on=(right_on,))
-    except (AttributeError, TypeError):
+    except (AttributeError, TypeError, ValueError):
         return bucketed_hash_join(left, right, left_on=left_on,
                                   right_on=right_on,
                                   num_buckets=num_partitions * 4, how=how)

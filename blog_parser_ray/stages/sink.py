@@ -82,7 +82,8 @@ def write_partition_sinks(table: pa.Table, out_dir: str, partition_id: int,
         os.makedirs(final_dir, exist_ok=True)
         final_path = os.path.join(final_dir, f"part-{partition_id:06d}.parquet")
         staged.append((tmp_path, final_path))
-        n_tok_sum = pc.sum(sub["n_tok"]).as_py() if sub.num_rows else 0
+        n_tok_sum = (pc.sum(sub["n_tok"]).as_py()
+                     if sub.num_rows and "n_tok" in sub.column_names else 0)
         lineage.append({
             "partition_id": partition_id,
             "input_fragment": fragment,

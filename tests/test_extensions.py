@@ -167,6 +167,31 @@ def test_lsh_empty_docs_not_candidates():
     assert pairs.num_rows == 0
 
 
+def test_lsh_blank_text_docs_not_candidates():
+    """Empty/whitespace-only TEXT docs are zero-shingle too
+    (pc.split_pattern('') returns [''], not []) — they must not flood the
+    LSH buckets with identical fallback signatures."""
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "text": pa.array(["", " ", "  ", "", BASE])})
+    pairs = dedup.minhash_dedup_pairs(rd.from_arrow(t), threshold=0.0)
+    assert pairs.num_rows == 0
+    # and the shingle kernel reports zero shingles for the blank rows
+    sh, starts, n_out = dedup.text_shingle_hashes(t["text"].combine_chunks())
+    assert n_out[:4].tolist() == [0, 0, 0, 0] and n_out[4] > 0
+
+
+def test_simhash_hot_bucket_capped():
+    """N identical docs must not expand N²/2 pairs per band — bucket
+    truncates at max_bucket (vectorized popcount verify)."""
+    n = 30
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "text": pa.array([BASE] * n)})
+    pairs = dedup.simhash_near_dup_pairs(rd.from_arrow(t), max_hamming=3)
+    # all-identical: every pair within the (default 2048) cap is reported
+    assert pairs.num_rows == n * (n - 1) // 2
+    assert set(pairs["hamming"].to_pylist()) == {0}
+
+
 def test_lsh_bucket_cap_truncates_hot_bucket():
     """One pathological bucket of N identical docs expands at most
     C(max_bucket, 2) pairs (drop is logged worker-side)."""
