@@ -670,6 +670,23 @@ _SH_C = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
          np.uint64(0x165667B19E3779F9))
 
 
+def _sh_consts(k: int) -> np.ndarray:
+    """Per-position mixing constants for k-window shingles, ANY k ≥ 1 (the
+    fixed triple only covered k ≤ 3 and crashed beyond); positions 0–2 keep
+    the original constants so existing k ≤ 3 shingle hashes are unchanged."""
+    from ..hashing import stable_hash_ints
+
+    out = np.empty(k, dtype=np.uint64)
+    base = np.array(_SH_C, dtype=np.uint64)
+    out[:min(k, 3)] = base[:min(k, 3)]
+    if k > 3:
+        with np.errstate(over="ignore"):
+            out[3:] = stable_hash_ints(
+                np.arange(3, k, dtype=np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    return out
+
+
 def _window_shingles(flat: np.ndarray, rel_offsets: np.ndarray, k: int,
                      short_fallback: np.ndarray):
     """Generic k-window shingle hashing over a flat uint64 buffer with row
@@ -679,10 +696,11 @@ def _window_shingles(flat: np.ndarray, rel_offsets: np.ndarray, k: int,
     from ..hashing import stable_hash_ints
 
     lengths = rel_offsets[1:] - rel_offsets[:-1]
+    consts = _sh_consts(k)
     with np.errstate(over="ignore"):
         win = np.zeros(max(len(flat) - k + 1, 0), dtype=np.uint64)
         for j in range(k):
-            win += flat[j:len(flat) - k + 1 + j] * _SH_C[j]
+            win += flat[j:len(flat) - k + 1 + j] * consts[j]
         win = stable_hash_ints(win)
 
     n_shingles = np.maximum(lengths - k + 1, 0)
