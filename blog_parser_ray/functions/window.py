@@ -133,6 +133,10 @@ def asof_join_keyed(left: rd.Dataset, right: rd.Dataset, *, key: str,
               .sort_values(left_ts, kind="mergesort"))
         rg = (g[g["_side"] == 1][[c for c in r_cols]]
               .sort_values(right_ts, kind="mergesort"))
+        # merge_asof demands identical datetime RESOLUTION on both on-keys
+        # (parquet us vs aggregate s would raise MergeError) — normalize
+        lg[left_ts] = pd.to_datetime(lg[left_ts]).astype("datetime64[ns]")
+        rg[right_ts] = pd.to_datetime(rg[right_ts]).astype("datetime64[ns]")
         if lg.empty:
             return pd.DataFrame(columns=all_cols)
         if rg.empty:

@@ -873,6 +873,56 @@ def asof_orders(sf_dir: str):
     return joined.select_columns(["event_id", "o_orderkey"])
 
 
+@q("event_last_order", """
+WITH ded AS (
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+         max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, d.o_orderkey AS last_orderkey
+FROM events e ASOF JOIN ded d
+  ON e.user_id = d.user_id AND e.ts >= d.ots
+""")
+def event_last_order(sf_dir: str):
+    """J5 KEYED as-of join (hash-bucketed merge_asof(by=key) plan): each
+    event → the same user's latest order at-or-before its ts. Right side
+    deduplicated to one deterministic row per (key, ts) — max orderkey — so
+    timestamp ties can't make the match ambiguous. Inner semantics: events
+    with no earlier order drop (keeps the oracle's types NULL-free)."""
+    import ray.data as _rd
+    from ray.data.aggregate import Max
+
+    from ..functions.window import asof_join_keyed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["o_custkey"], "ots": b["o_orderdate"],
+                      "o_orderkey": b["o_orderkey"]})
+        g = t.group_by(["user_id", "ots"]).aggregate([("o_orderkey", "max")])
+        return g.rename_columns(["user_id", "ots", "o_orderkey"])
+
+    ded = (orders.map_batches(partial, batch_format="pyarrow")
+           .groupby(["user_id", "ots"])
+           .aggregate(Max("o_orderkey", alias_name="o_orderkey")))
+
+    joined = asof_join_keyed(ev, ded, key="user_id",
+                             left_ts="ts", right_ts="ots")
+
+    def finish(b: pa.Table) -> pa.Table:
+        # unmatched rows surface as arrow null OR float NaN (pandas blocks)
+        keep = b.filter(pc.invert(pc.is_null(b["o_orderkey"],
+                                             nan_is_null=True)))
+        ok = keep["o_orderkey"]
+        if pa.types.is_floating(ok.type):  # merge_asof float promotion
+            ok = pc.cast(ok, pa.int64())
+        return pa.table({"event_id": keep["event_id"],
+                         "last_orderkey": ok})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 @q("session_counts", """
 WITH g AS (
   SELECT user_id, ts,
