@@ -214,6 +214,45 @@ def _perm_params(num_perm: int, seed: int = 7):
     return a, b
 
 
+# Per-process caches for tiny derivable state (perm params, hyperplanes).
+# Rationale: an actor POOL costs ~1.5 s of ramp-up per dataset execution on
+# this host; when the "state" is microseconds to build, a task-pool function
+# with a process-level cache gives the same build-once-per-worker behavior
+# with zero pool overhead. Actor pools remain the right shape for REAL state
+# (models, dim tables) — see stages/enrich.py, functions/multimodal.py.
+_PERM_CACHE: dict = {}
+
+
+def _perms_cached(num_perm: int, seed: int = 7):
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = _perm_params(num_perm, seed)
+    return _PERM_CACHE[key]
+
+
+def minhash_text_band_rows(batch: pa.Table, *, num_perm: int = 64,
+                           bands: int = 16, k: int = 3,
+                           text_col: str = "text") -> pa.Table:
+    """Task-pool MinHash band rows over word shingles (params per-process
+    cached — see cache note above)."""
+    a, b = _perms_cached(num_perm)
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    sh, starts, n_out = text_shingle_hashes(text, k)
+    return _band_rows(sh, starts, n_out, batch["doc_id"].to_pylist(),
+                      batch["doc_id"].type, num_perm, bands, a, b)
+
+
+def minhash_token_band_rows(batch: pa.Table, *, num_perm: int = 64,
+                            bands: int = 16, k: int = 3) -> pa.Table:
+    """Task-pool MinHash band rows over token shingles."""
+    a, b = _perms_cached(num_perm)
+    sh, starts, n_out = token_shingle_hashes(batch["tokens"], k)
+    return _band_rows(sh, starts, n_out, batch["doc_id"].to_pylist(),
+                      batch["doc_id"].type, num_perm, bands, a, b)
+
+
 def _band_rows(sh, starts, n_out, ids, id_type, num_perm, bands, a, b):
     """Shared MinHash → LSH band-row emitter (fully vectorized):
     per-row signature via one ``np.minimum.reduceat`` over the perm matrix,
@@ -251,26 +290,18 @@ def _band_rows(sh, starts, n_out, ids, id_type, num_perm, bands, a, b):
 
 
 class MinHasher:
-    """Actor-pool text-MinHash stage: permutation params built once per
-    actor; signatures fully vectorized over word-shingle hashes. Emits
-    (doc_id, band:int32, band_hash:int64) rows — ``bands`` rows per doc —
-    ready for the LSH bucket groupby."""
+    """Actor-pool FORM of ``minhash_text_band_rows`` (same kernel; kept for
+    callers that want an explicit pool — the query path uses the task-pool
+    function, which skips pool ramp-up)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3,
                  text_col: str = "text") -> None:
         assert num_perm % bands == 0
-        self.num_perm, self.bands, self.k = num_perm, bands, k
-        self.a, self.b = _perm_params(num_perm)
-        self.text_col = text_col
+        self.kw = dict(num_perm=num_perm, bands=bands, k=k,
+                       text_col=text_col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch[self.text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        sh, starts, n_out = text_shingle_hashes(text, self.k)
-        return _band_rows(sh, starts, n_out, batch["doc_id"].to_pylist(),
-                          batch["doc_id"].type, self.num_perm, self.bands,
-                          self.a, self.b)
+        return minhash_text_band_rows(batch, **self.kw)
 
 
 def _lsh_candidate_pairs(sig: rd.Dataset, max_bucket: int = 2048,
@@ -346,11 +377,11 @@ def _lsh_candidate_pairs(sig: rd.Dataset, max_bucket: int = 2048,
 def minhash_candidates(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                        k: int = 3, text_col: str = "text") -> list[tuple]:
     """LSH bucket groupby → unordered candidate pairs (a < b)."""
-    sig = ds.map_batches(MinHasher,
-                         fn_constructor_kwargs=dict(num_perm=num_perm,
-                                                    bands=bands, k=k,
-                                                    text_col=text_col),
-                         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    assert num_perm % bands == 0
+    sig = ds.map_batches(minhash_text_band_rows,
+                         fn_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
+                                        text_col=text_col),
+                         batch_format="pyarrow")
     return _lsh_candidate_pairs(sig)
 
 
@@ -560,47 +591,56 @@ def _hyperplane_bands(threshold: float, n_bits: int,
     return max(1, min(L, 512))
 
 
-class EmbeddingBander:
-    """Actor-pool stage: random-hyperplane band rows per vector.
+_PLANE_CACHE: dict = {}
 
-    Planes are built lazily on the first batch (dim discovered from the list
-    column) from a fixed seed — deterministic across actors and cluster
-    sizes. Emits (doc_id, band:int32, band_hash:int64) rows, the same layout
-    as MinHash band rows, feeding the shared distributed candidate machinery.
-    """
+
+def embedding_band_rows(batch: pa.Table, *, n_bits: int, n_bands: int,
+                        seed: int = 13, col: str = "embedding",
+                        id_col: str = "vec_id") -> pa.Table:
+    """Task-pool random-hyperplane band rows per vector (planes per-process
+    cached by (dim, bits, bands, seed) — see the cache note above; the dim
+    is discovered from the list column, deterministic across workers and
+    cluster sizes). Emits (doc_id, band:int32, band_hash:int64) rows, the
+    same layout as MinHash band rows, feeding the shared candidate
+    machinery."""
+    M = _embedding_matrix(batch, col)
+    n = M.shape[0]
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], batch[id_col].type),
+                         "band": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.int64())})
+    key = (M.shape[1], n_bits, n_bands, seed)
+    if key not in _PLANE_CACHE:
+        rng = np.random.default_rng(seed)
+        _PLANE_CACHE[key] = rng.standard_normal(
+            (M.shape[1], n_bits * n_bands))
+    planes = _PLANE_CACHE[key]
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    bits = (Mn @ planes) > 0
+    packed = (bits.reshape(n, n_bands, n_bits).astype(np.int64)
+              << np.arange(n_bits, dtype=np.int64)[None, None, :]
+              ).sum(axis=2)
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        "doc_id": ids.take(pa.array(np.repeat(np.arange(n), n_bands))),
+        "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+        "band_hash": pa.array(packed.reshape(-1)),
+    })
+
+
+class EmbeddingBander:
+    """Actor-pool FORM of ``embedding_band_rows`` (same kernel; the query
+    path uses the task-pool function)."""
 
     def __init__(self, n_bits: int, n_bands: int, seed: int = 13,
                  col: str = "embedding", id_col: str = "vec_id") -> None:
-        self.n_bits, self.n_bands, self.seed = n_bits, n_bands, seed
-        self.col, self.id_col = col, id_col
-        self.planes: np.ndarray | None = None
+        self.kw = dict(n_bits=n_bits, n_bands=n_bands, seed=seed,
+                       col=col, id_col=id_col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        M = _embedding_matrix(batch, self.col)
-        n = M.shape[0]
-        if n == 0:
-            return pa.table({"doc_id": pa.array([], batch[self.id_col].type),
-                             "band": pa.array([], pa.int32()),
-                             "band_hash": pa.array([], pa.int64())})
-        if self.planes is None:
-            rng = np.random.default_rng(self.seed)
-            self.planes = rng.standard_normal(
-                (M.shape[1], self.n_bits * self.n_bands))
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        bits = (Mn @ self.planes) > 0
-        packed = (bits.reshape(n, self.n_bands, self.n_bits).astype(np.int64)
-                  << np.arange(self.n_bits, dtype=np.int64)[None, None, :]
-                  ).sum(axis=2)
-        ids = batch[self.id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        return pa.table({
-            "doc_id": ids.take(pa.array(np.repeat(np.arange(n),
-                                                  self.n_bands))),
-            "band": pa.array(np.tile(np.arange(self.n_bands, dtype=np.int32),
-                                     n)),
-            "band_hash": pa.array(packed.reshape(-1)),
-        })
+        return embedding_band_rows(batch, **self.kw)
 
 
 def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
@@ -625,10 +665,10 @@ def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
                       "cosine": pa.array([], pa.float64())})
     n_bands = _hyperplane_bands(threshold, n_bits, target_recall)
     sig = ds.map_batches(
-        EmbeddingBander,
-        fn_constructor_kwargs=dict(n_bits=n_bits, n_bands=n_bands, seed=seed,
-                                   col=col, id_col=id_col),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        embedding_band_rows,
+        fn_kwargs=dict(n_bits=n_bits, n_bands=n_bands, seed=seed,
+                       col=col, id_col=id_col),
+        batch_format="pyarrow")
     pairs = _lsh_candidate_pairs(sig)
     if not pairs:
         return empty
@@ -787,21 +827,17 @@ def text_shingle_hashes(text_col, k: int = 3):
 
 
 class TokenMinHasher:
-    """Actor-pool MinHash over token shingles — signatures via ONE
+    """Actor-pool FORM of ``minhash_token_band_rows`` (same kernel; the
+    query path uses the task-pool function). Signatures via ONE
     ``np.minimum.reduceat`` per corpus chunk (no per-row loops). Use modest
     ``batch_size`` (≤4096): the perm matrix is (shingles × num_perm)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3):
         assert num_perm % bands == 0
-        self.num_perm, self.bands, self.k = num_perm, bands, k
-        self.rows_per_band = num_perm // bands
-        self.a, self.b = _perm_params(num_perm)
+        self.kw = dict(num_perm=num_perm, bands=bands, k=k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh, starts, n_out = token_shingle_hashes(batch["tokens"], self.k)
-        return _band_rows(sh, starts, n_out, batch["doc_id"].to_pylist(),
-                          batch["doc_id"].type, self.num_perm, self.bands,
-                          self.a, self.b)
+        return minhash_token_band_rows(batch, **self.kw)
 
 
 def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
@@ -812,11 +848,10 @@ def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
     Candidates from the LSH band groupby; verification computes exact shingle
     Jaccard for candidate docs only (gathered via a broadcast id filter —
     candidates ≪ corpus is LSH's contract)."""
-    sig = ds.map_batches(TokenMinHasher,
-                         fn_constructor_kwargs=dict(num_perm=num_perm,
-                                                    bands=bands, k=k),
-                         batch_format="pyarrow", batch_size=2048,
-                         concurrency=(1, 4), num_cpus=1)
+    assert num_perm % bands == 0
+    sig = ds.map_batches(minhash_token_band_rows,
+                         fn_kwargs=dict(num_perm=num_perm, bands=bands, k=k),
+                         batch_format="pyarrow", batch_size=2048)
     pairs = _lsh_candidate_pairs(sig)
     empty = pa.table({"a": pa.array([], pa.string()),
                       "b": pa.array([], pa.string()),

@@ -138,6 +138,19 @@ class LangId:
         })
 
 
+_LANGID_SINGLETON: list = []
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of ``LangId`` with a per-process cached profile matrix
+    — the state is microseconds to build, so a task pool with a process
+    cache beats an actor pool's per-execution ramp-up (~1.5 s on this
+    host). Keep the actor-pool class for real model-backed language ID."""
+    if not _LANGID_SINGLETON:
+        _LANGID_SINGLETON.append(LangId())
+    return _LANGID_SINGLETON[0](batch)
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Order-sensitive 64-bit document fingerprint (rolling-hash style):
     fp = XOR_i mix(word_hash_i + golden*i)  — vectorized over the flattened

@@ -706,9 +706,9 @@ def quality_score(sf_dir: str):
 
 @q("lang_id")  # rows-only: heuristic model, no SQL equivalent
 def lang_id(sf_dir: str):
-    from ..functions.text import LangId
+    from ..functions.text import lang_id_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        lang_id_batch, batch_format="pyarrow")
 
 
 @q("fingerprint")  # rows-only: custom 64-bit rolling fingerprint
