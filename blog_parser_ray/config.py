@@ -10,12 +10,24 @@ keyed on source/parse-class").
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
 from . import schema as S
 
 _VALID_OPS = {"eq", "ne", "in", "not_in", "regex", "lt", "le", "gt", "ge"}
+
+# sink names become filesystem path components under out_dir/sinks/ — allow
+# only names that cannot escape or nest (no separators, no '.'/'..')
+_SINK_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _check_sink_name(name: str) -> None:
+    if not name or not _SINK_NAME_RE.match(name) or name in (".", ".."):
+        raise ValueError(
+            f"router: sink name {name!r} is not a safe path component "
+            "(allowed: [A-Za-z0-9][A-Za-z0-9._-]*)")
 
 
 @dataclass(frozen=True)
@@ -29,6 +41,15 @@ class Predicate:
     def __post_init__(self) -> None:
         if self.op not in _VALID_OPS:
             raise ValueError(f"unknown predicate op {self.op!r}")
+        if self.op in ("in", "not_in") and (
+                isinstance(self.value, (str, bytes))
+                or not hasattr(self.value, "__iter__")):
+            # a string value would silently become per-CHARACTER membership
+            # in the vectorized path (and substring containment in the
+            # oracle) — demand an explicit sequence of values
+            raise ValueError(
+                f"predicate {self.op!r} on {self.column!r} needs a "
+                f"list/tuple of values, got {type(self.value).__name__}")
 
 
 @dataclass(frozen=True)
@@ -47,9 +68,11 @@ class RouterConfig:
     def validate(self) -> None:
         if not self.default_sink:
             raise ValueError("router: default sink is mandatory")
+        _check_sink_name(self.default_sink)
         for r in self.rules:
             if not r.sink:
                 raise ValueError("router: rule with empty sink")
+            _check_sink_name(r.sink)
 
     @property
     def sinks(self) -> tuple[str, ...]:

@@ -131,6 +131,10 @@ def run(input_dir: str, out_dir: str, spec: PipelineSpec | None = None,
             dim = default_dim()
         dim_ref = ray.put(dim)
         specs_ds = rd.from_items([asdict(p) for p in todo])
+        # function stages only accept an int concurrency (tuples are for
+        # callable-class actor pools); honor a tuple caller by its max
+        if isinstance(concurrency, tuple):
+            concurrency = max(concurrency)
         lineage_ds = specs_ds.map_batches(
             process_partitions,
             fn_args=(dim_ref, spec, out_dir, inject_fail, fail_once),
@@ -168,14 +172,24 @@ def run(input_dir: str, out_dir: str, spec: PipelineSpec | None = None,
 
     sinks_dir = os.path.join(out_dir, "sinks")
     agg_dir = os.path.join(out_dir, "_aggregates")
-    routed = rd.read_parquet(sinks_dir, columns=["sink", "source",
-                                                 "parse_class", "tok_len"])
+    # read only committed sink dirs: a crash inside compact_sinks can leave
+    # stale `X.old` / `X.compact` siblings whose rows would double-count
+    sink_files = [os.path.join(sinks_dir, d, f)
+                  for d in sorted(os.listdir(sinks_dir))
+                  if os.path.isdir(os.path.join(sinks_dir, d))
+                  and not d.endswith((".old", ".compact"))
+                  for f in sorted(os.listdir(os.path.join(sinks_dir, d)))
+                  if f.endswith(".parquet")]
+    routed = rd.read_parquet(sink_files, columns=["sink", "source",
+                                                  "parse_class", "tok_len"])
     counts, hist = agg.per_sink_counts_and_hist(
         routed, bin_width=spec.hist_bin_width, max_tokens=spec.max_tokens)
     tmp_agg = agg_dir + ".tmp"
     import shutil
-    for d in (tmp_agg, agg_dir):
-        shutil.rmtree(d, ignore_errors=True)
+    # stage the replacement FULLY before touching the live dir: a crash
+    # mid-write leaves the old aggregates intact (tmp is rebuilt next run);
+    # the unprotected window is only the rmtree→replace pair below
+    shutil.rmtree(tmp_agg, ignore_errors=True)
     os.makedirs(os.path.join(tmp_agg, "per_sink_counts"))
     os.makedirs(os.path.join(tmp_agg, "ntok_hist"))
     pq.write_table(counts.sort_by([("sink", "ascending"),
@@ -184,6 +198,7 @@ def run(input_dir: str, out_dir: str, spec: PipelineSpec | None = None,
                    os.path.join(tmp_agg, "per_sink_counts", "part-0.parquet"))
     pq.write_table(hist.sort_by([("sink", "ascending"), ("bin", "ascending")]),
                    os.path.join(tmp_agg, "ntok_hist", "part-0.parquet"))
+    shutil.rmtree(agg_dir, ignore_errors=True)
     os.replace(tmp_agg, agg_dir)
 
     # ---- conservation check + metrics (§3.1 step 9) -----------------------

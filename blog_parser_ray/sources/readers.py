@@ -27,8 +27,14 @@ def read_sequences(path: str, **kwargs) -> rd.Dataset:
 
 
 def assert_schema_of(path: str) -> None:
-    f = _first_parquet_file(path)
-    S.assert_sequences_schema(pq.ParquetFile(f).schema_arrow)
+    """Schema gate over EVERY file (metadata-only reads — the planner opens
+    each file's footer anyway); checking just the first file would let a
+    later file with drifted types fail deep inside parse instead of here."""
+    files = _parquet_files(path) if not os.path.isfile(path) else [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    for f in files:
+        S.assert_sequences_schema(pq.ParquetFile(f).schema_arrow)
 
 
 def read_dim(path: str) -> pa.Table:
@@ -71,10 +77,16 @@ class PartitionSpec:
     rg_start: int    # first row group (inclusive)
     rg_end: int      # last row group (exclusive)
     num_rows: int
+    rel: str = ""    # input-dir-relative path (resume identity)
 
     @property
     def fragment(self) -> str:
-        return f"{os.path.basename(self.path)}[{self.rg_start}:{self.rg_end}]"
+        # identity must be input-dir-RELATIVE: basenames repeat across
+        # subdirs (day1/data.parquet, day2/data.parquet), and a
+        # basename-only fragment lets the resume-safety check false-pass
+        # when the plan shifts onto a different same-named file
+        name = self.rel or os.path.basename(self.path)
+        return f"{name}[{self.rg_start}:{self.rg_end}]"
 
 
 def _parquet_files(input_dir: str) -> list[str]:
@@ -100,9 +112,11 @@ def plan_partitions(input_dir: str,
     """Deterministic plan: sorted files × row-group ranges, each partition
     holding ~``target_rows`` rows. Stable across runs and cluster sizes —
     the resume key (SURVEY.md §4.4)."""
+    base = input_dir if os.path.isdir(input_dir) else os.path.dirname(input_dir)
     parts: list[PartitionSpec] = []
     pid = 0
     for path in _parquet_files(input_dir):
+        rel = os.path.relpath(path, base) if base else os.path.basename(path)
         md = pq.ParquetFile(path).metadata
         rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
         start, acc = 0, 0
@@ -110,7 +124,8 @@ def plan_partitions(input_dir: str,
             acc += nrows
             last = i == len(rg_rows) - 1
             if acc >= target_rows or (last and acc > 0):
-                parts.append(PartitionSpec(pid, path, start, i + 1, acc))
+                parts.append(PartitionSpec(pid, path, start, i + 1, acc,
+                                           rel=rel))
                 pid += 1
                 start, acc = i + 1, 0
     return parts

@@ -35,7 +35,11 @@ def _pred_mask(p: Predicate, batch: pa.Table) -> np.ndarray:
     elif p.op == "in":
         m = pc.is_in(col, value_set=pa.array(list(p.value)))
     elif p.op == "not_in":
-        m = pc.invert(pc.is_in(col, value_set=pa.array(list(p.value))))
+        # is_in yields FALSE (not null) for null inputs, so a bare invert
+        # would make not_in match nulls — mask validity explicitly to keep
+        # the "predicate over null is False" contract (= oracle._pred_holds)
+        m = pc.and_(pc.invert(pc.is_in(col, value_set=pa.array(list(p.value)))),
+                    pc.is_valid(col))
     elif p.op == "regex":
         m = pc.match_substring_regex(col, p.value)
     elif p.op == "lt":

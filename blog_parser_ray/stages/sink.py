@@ -64,6 +64,10 @@ def write_partition_sinks(table: pa.Table, out_dir: str, partition_id: int,
     lineage: list[dict] = []
     staged: list[tuple[str, str]] = []
     for sink in sorted(sinks):
+        # defense-in-depth: sink values become path components (config
+        # validation is the primary gate — see config._check_sink_name)
+        if not sink or os.sep in sink or sink in (".", ".."):
+            raise ValueError(f"unsafe sink name {sink!r}")
         sub = table.filter(pc.equal(sink_col, sink))
         tmp_path = os.path.join(tmp_dir, f"{sink}.parquet")
         # encoding choice is measured (50k-row partition, tmpfs): delta-packed
@@ -129,12 +133,23 @@ def compact_sinks(out_dir: str, target_rows_per_file: int = 500_000) -> dict:
     import ray.data as rd
 
     sinks_root = os.path.join(out_dir, "sinks")
-    # recover any sink stranded by a crash between the two swap renames
+    # crash recovery BEFORE compacting:
+    # - src missing + src.old present  → crash between the two swap renames:
+    #   restore src from .old
+    # - src present + src.old present  → crash after the second rename but
+    #   before cleanup: .old is a stale full copy that would DOUBLE-COUNT in
+    #   any recursive read over sinks/ — delete it
+    # - stale *.compact               → interrupted staging: delete
     for entry in sorted(os.listdir(sinks_root)):
+        full = os.path.join(sinks_root, entry)
         if entry.endswith(".old"):
             src = os.path.join(sinks_root, entry[: -len(".old")])
             if not os.path.isdir(src):
-                os.replace(os.path.join(sinks_root, entry), src)
+                os.replace(full, src)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+        elif entry.endswith(".compact"):
+            shutil.rmtree(full, ignore_errors=True)
 
     report = {}
     for sink in sorted(os.listdir(sinks_root)):

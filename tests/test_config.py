@@ -108,3 +108,39 @@ def test_cli_config_end_to_end(tmp_path):
     assert summary["conserved"]
     sinks = sorted(os.listdir(out / "sinks"))
     assert sinks == ["everything_else", "quarantine"]
+
+
+def test_predicate_and_sink_name_validation():
+    import pytest as _pytest
+
+    from blog_parser_ray.config import (Predicate, RouterConfig, RouterRule)
+
+    # in/not_in with a STRING would become per-character membership — reject
+    with _pytest.raises(ValueError, match="list/tuple"):
+        Predicate("parse_class", "in", "ok")
+    Predicate("parse_class", "in", ["ok"])  # sequence form is fine
+
+    # sink names become path components — separators/traversal rejected
+    for bad in ("../evil", "a/b", "..", ".hidden"):
+        rc = RouterConfig(rules=(RouterRule(sink=bad, when=()),),
+                          default_sink="rest")
+        with _pytest.raises(ValueError, match="sink name"):
+            rc.validate()
+
+
+def test_router_not_in_null_semantics():
+    """not_in over a NULL value must be False (oracle._pred_holds parity) —
+    pc.is_in returns False for nulls, so a bare invert would match them."""
+    import pyarrow as pa
+
+    from blog_parser_ray.config import (Predicate, RouterConfig, RouterRule)
+    from blog_parser_ray.stages.route import route_batch
+
+    rc = RouterConfig(rules=(
+        RouterRule(sink="keep",
+                   when=(Predicate("tenant", "not_in", ["t1"]),)),),
+        default_sink="rest")
+    batch = pa.table({"tenant": pa.array([None, "t1", "t2"],
+                                         type=pa.string())})
+    out = route_batch(batch, rc)
+    assert out["sink"].to_pylist() == ["rest", "rest", "keep"]

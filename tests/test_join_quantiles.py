@@ -112,6 +112,17 @@ def test_compact_sinks(tmp_path):
     recovered = rd.read_parquet(os.path.join(out, "sinks")).to_pandas()
     assert sorted(before["x"]) == sorted(recovered["x"])
 
+    # crash AFTER the second rename leaves a stale full copy in a.old that
+    # would double-count in recursive reads; recovery must delete it
+    import shutil
+    shutil.copytree(a_dir, a_dir + ".old")
+    os.makedirs(a_dir + ".compact")
+    compact_sinks(out, target_rows_per_file=100)
+    assert not os.path.isdir(a_dir + ".old")
+    assert not os.path.isdir(a_dir + ".compact")
+    clean = rd.read_parquet(os.path.join(out, "sinks")).to_pandas()
+    assert sorted(before["x"]) == sorted(clean["x"])
+
 
 def test_bloom_filter_rates_and_merge():
     from blog_parser_ray.functions.bloom import BloomFilter

@@ -52,3 +52,42 @@ def test_runner_rejects_empty_input(tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError, match="nothing to plan"):
         run(str(empty), str(tmp_path / "out"))
+
+
+def test_plan_fragments_are_input_relative(tmp_path):
+    """Same-basename files in different subdirs must get DISTINCT fragment
+    identities (resume-safety check keys on the fragment string)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blog_parser_ray.sources.readers import plan_partitions
+
+    for day in ("day1", "day2"):
+        os.makedirs(tmp_path / day)
+        pq.write_table(pa.table({"x": pa.array(np.arange(10))}),
+                       str(tmp_path / day / "data.parquet"))
+    plan = plan_partitions(str(tmp_path), target_rows=5)
+    frags = [p.fragment for p in plan]
+    assert len(frags) == len(set(frags))
+    assert any("day1" in f for f in frags) and any("day2" in f for f in frags)
+
+
+def test_schema_gate_checks_every_file(tmp_path):
+    """A later file with drifted types must fail the S1 gate up front."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from blog_parser_ray import schema as S
+    from blog_parser_ray.sources.readers import assert_schema_of
+    from blog_parser_ray.synth import synth_table
+    import numpy as np
+
+    good = synth_table(np.arange(50), seed=1)
+    pq.write_table(good, str(tmp_path / "a.parquet"))
+    bad = good.set_column(good.schema.get_field_index("n_tok"), "n_tok",
+                          good["n_tok"].cast(pa.int64()))
+    pq.write_table(bad, str(tmp_path / "b.parquet"))
+    with _pytest.raises((TypeError, AssertionError, ValueError)):
+        assert_schema_of(str(tmp_path))
