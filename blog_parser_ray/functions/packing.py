@@ -2,10 +2,11 @@
 deterministic stratified splits.
 
 - ``pack_sequences``: combine whole sequences into packed training examples
-  of ≤ ``max_len`` tokens (no sequence ever split). Vectorized first-fit-in-
-  order: a cumulative token count per batch is cut wherever adding the next
-  sequence would overflow — pack boundaries come from one ``np.maximum``
-  scan, token payloads from one ListArray rebuild. Packing is per-batch
+  of ≤ ``max_len`` tokens (no sequence ever split). First-fit-in-order pack
+  BOUNDARIES carry a true sequential dependence and are resolved in one
+  Python pass over ROWS (≤ batch_size iterations — cheap next to the token
+  copy); everything over TOKEN values (pack sizes, payload assembly) is one
+  vectorized bincount + ListArray rebuild. Packing is per-batch
   (embarrassingly parallel); cross-batch fill is deliberately not attempted —
   at 10¹² rows the ~½-example waste per batch is noise, and batch-local
   packing keeps the op a pure map.
@@ -106,8 +107,16 @@ def stratified_split(ds: rd.Dataset, key_col: str = "doc_id",
     test_cut = val_cut + int(test_frac * 10_000)
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = [f"{salt}:{k}" for k in batch[key_col].to_pylist()]
-        h = (stable_hash_strings(keys) % np.uint64(10_000)).astype(np.int64)
+        import pyarrow.compute as pc
+
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # salt prepended with a vectorized binary join — no per-row Python
+        keyed = pc.binary_join_element_wise(
+            pa.array([salt] * len(col), type=pa.string()),
+            pc.cast(col, pa.string()), ":")
+        h = (stable_hash_strings(keyed) % np.uint64(10_000)).astype(np.int64)
         split = np.select([h < val_cut, h < test_cut], ["val", "test"],
                           default="train")
         return batch.append_column("split", pa.array(split, type=pa.string()))

@@ -111,7 +111,8 @@ def run_flagship(rows: list[dict[str, Any]], dim: dict[str, dict[str, Any]],
     Returns ``{"routed": rows_with_sink, "per_sink_counts": Counter,
     "hist": Counter, "totals": {...}}``. ``per_sink_counts`` keys are
     ``(sink, source, parse_class)`` (A2); ``hist`` keys are ``(sink, bin)``
-    over bin = min(n_tok, max_tokens) // bin_width using the REAL token count
+    over bin = min(n_tok, max_tokens-1) // bin_width using the REAL token count
+    (overflow rows land in the TOP bin; domain stays [0, max/width))
     len(tokens) (A3).
     """
     routed = []
@@ -123,7 +124,7 @@ def run_flagship(rows: list[dict[str, Any]], dim: dict[str, dict[str, Any]],
                                            spec.max_tokens), dim), spec)
         routed.append(r)
         counts[(r["sink"], r["source"], r["parse_class"])] += 1
-        b = min(len(r["tokens"]), spec.max_tokens) // spec.hist_bin_width
+        b = min(len(r["tokens"]), spec.max_tokens - 1) // spec.hist_bin_width
         hist[(r["sink"], b)] += 1
         tok_total += len(r["tokens"])
     per_sink_rows = defaultdict(int)

@@ -42,10 +42,13 @@ def run_streaming(input_path: str, out_dir: str,
 
     This is the fully streaming form (Ray owns all scheduling/fan-out). It
     trades the runner's per-partition atomic-commit manifest for simplicity —
-    use ``runner.run`` when you need kill-resume; use this when the output
-    store is append-only/versioned and retries may overwrite freely.
+    use ``runner.run`` when you need kill-resume. A rerun into the same
+    out_dir CLEARS the sinks dir first: ``write_parquet`` adds uniquely-named
+    files next to old ones, so without the clear the read-back aggregate
+    would silently double-count previous generations.
     """
     import os
+    import shutil
 
     from ..config import PipelineSpec as _Spec
     from ..stages import agg
@@ -54,6 +57,7 @@ def run_streaming(input_path: str, out_dir: str,
     ds = rd.read_parquet(input_path, columns=list(S.SEQUENCES_SCHEMA.names))
     routed = build_routed(ds, spec, dim)
     sinks_dir = os.path.join(out_dir, "sinks")
+    shutil.rmtree(sinks_dir, ignore_errors=True)
     routed.write_parquet(sinks_dir, partition_cols=["sink"])
 
     back = rd.read_parquet(sinks_dir, columns=["sink", "source",

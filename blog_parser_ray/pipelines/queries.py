@@ -185,18 +185,14 @@ SELECT CAST(n_tok // 8 AS INTEGER) AS bin, count(*) AS cnt
 FROM seq GROUP BY 1
 """)
 def ntok_hist_q(sf_dir: str):
-    """A3 global histogram (bin width 8 — bridge sequences are short)."""
-    ds = _seq_ds(sf_dir)
-
-    def partial(batch: pa.Table) -> pa.Table:
+    """A3 global histogram (bin width 8 — bridge sequences are short):
+    bin column + the shared partial-first group_count."""
+    def add_bin(batch: pa.Table) -> pa.Table:
         bins = (batch["n_tok"].to_numpy() // 8).astype(np.int32)
-        t = pa.table({"bin": pa.array(bins, type=pa.int32())})
-        g = t.group_by(["bin"]).aggregate([([], "count_all")])
-        return g.rename_columns(["bin", "partial_rows"])
+        return pa.table({"bin": pa.array(bins, type=pa.int32())})
 
-    from ray.data.aggregate import Sum
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("bin").aggregate(Sum("partial_rows", alias_name="cnt")))
+    binned = _seq_ds(sf_dir).map_batches(add_bin, batch_format="pyarrow")
+    return agg.group_count(binned, ["bin"], alias="cnt")
 
 
 @q("enrich_docs", f"""
@@ -310,6 +306,28 @@ def orders_customers(sf_dir: str):
                        Sum("pc_sum", alias_name="total_cents")))
 
 
+def _building_key_filter(sf_dir: str, invert: bool):
+    """Shared semi/anti plumbing: broadcast the BUILDING key set once
+    (typed int64 even when EMPTY — an empty to_pandas drops columns and a
+    null-typed value_set misbehaves against int64) and filter orders."""
+    import ray
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys_tbl = _collect_table(
+        cust.map_batches(
+            lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+            .select(["c_custkey"]), batch_format="pyarrow"),
+        pa.table({"c_custkey": pa.array([], pa.int64())}))
+    karr = keys_tbl["c_custkey"].combine_chunks()
+    key_ref = ray.put(karr.take(pc.array_sort_indices(karr)))
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["o_custkey"], value_set=ray.get(key_ref))
+        return b.filter(pc.invert(m) if invert else m)
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
 @q("semi_orders", """
 SELECT o_orderkey, o_custkey
 FROM orders WHERE o_custkey IN
@@ -317,18 +335,7 @@ FROM orders WHERE o_custkey IN
 """)
 def semi_orders(sf_dir: str):
     """J3 semi-join via broadcast key set (pc.is_in)."""
-    import ray
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    keys = (cust.map_batches(
-        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
-        .select(["c_custkey"]), batch_format="pyarrow").to_pandas())
-    key_ref = ray.put(pa.array(sorted(keys["c_custkey"].tolist())))
-
-    def fn(b: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        return b.filter(pc.is_in(b["o_custkey"], value_set=ks))
-    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        fn, batch_format="pyarrow")
+    return _building_key_filter(sf_dir, invert=False)
 
 
 @q("anti_orders", """
@@ -337,19 +344,8 @@ FROM orders WHERE o_custkey NOT IN
   (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 """)
 def anti_orders(sf_dir: str):
-    """J4 anti-join via broadcast key set, inverted."""
-    import ray
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    keys = (cust.map_batches(
-        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
-        .select(["c_custkey"]), batch_format="pyarrow").to_pandas())
-    key_ref = ray.put(pa.array(sorted(keys["c_custkey"].tolist())))
-
-    def fn(b: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        return b.filter(pc.invert(pc.is_in(b["o_custkey"], value_set=ks)))
-    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        fn, batch_format="pyarrow")
+    """J4 anti-join via the shared broadcast key set, inverted."""
+    return _building_key_filter(sf_dir, invert=True)
 
 
 @q("global_agg", """
@@ -1234,33 +1230,15 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """)
 def qty_quantiles_by_flag(sf_dir: str):
-    """Grouped exact quantiles over a bounded domain: one distributed
-    two-phase (group, value) count, then per-group CDF reads on the tiny
-    result — shuffles counts, never rows."""
+    """Grouped exact quantiles over a bounded domain — delegates to the one
+    generalized CDF implementation (agg.exact_quantiles_bounded with
+    group_keys) so the quantile_disc read logic exists in exactly one
+    place."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        g = (b.select(["l_returnflag", "l_quantity"])
-             .group_by(["l_returnflag", "l_quantity"])
-             .aggregate([([], "count_all")]))
-        return g.rename_columns(["l_returnflag", "l_quantity", "partial_rows"])
-
-    from ray.data.aggregate import Sum
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(["l_returnflag", "l_quantity"])
-              .aggregate(Sum("partial_rows", alias_name="cnt"))
-              .to_pandas().sort_values(["l_returnflag", "l_quantity"]))
-    rows = []
-    for flag, g in counts.groupby("l_returnflag"):
-        values = g["l_quantity"].to_numpy()
-        cum = g["cnt"].to_numpy().cumsum()
-        n = int(cum[-1])
-        qs = {}
-        for q in (0.25, 0.50, 0.95):
-            idx = int(np.floor((n - 1) * q))
-            qs[q] = float(values[np.searchsorted(cum, idx + 1)])
-        rows.append({"l_returnflag": flag, "q25": qs[0.25],
-                     "q50": qs[0.50], "q95": qs[0.95]})
+    res = agg.exact_quantiles_bounded(ds, "l_quantity", [0.25, 0.50, 0.95],
+                                      group_keys=["l_returnflag"])
+    rows = [{"l_returnflag": k[0], "q25": v[0.25], "q50": v[0.50],
+             "q95": v[0.95]} for k, v in res.items()]
     return pa.Table.from_pylist(sorted(rows, key=lambda r: r["l_returnflag"]))
 
 
@@ -1389,7 +1367,7 @@ enriched AS (
   SELECT seq.*, dim.meta_priority
   FROM seq LEFT JOIN {_dim_values_sql()} USING (source))
 SELECT {_SINK_CASE_SQL.strip()} AS sink,
-       CAST(n_tok // 8 AS INTEGER) AS bin, count(*) AS cnt
+       CAST(LEAST(n_tok, 4095) // 8 AS INTEGER) AS bin, count(*) AS cnt
 FROM enriched
 GROUP BY 1, 2
 """)

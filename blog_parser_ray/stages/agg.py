@@ -107,7 +107,10 @@ def per_sink_counts_and_hist(routed: rd.Dataset, *, bin_width: int = 64,
                 tokens = tokens.combine_chunks()
             offs = tokens.offsets.to_numpy()
             lengths = (offs[1:] - offs[:-1]).astype(np.int64)
-        bins = np.minimum(lengths, max_tokens) // bin_width
+        # overflow rows land in the TOP bin (max_tokens-1), keeping the
+        # bin domain at exactly [0, max_tokens/bin_width) — oracles clamp
+        # with the same LEAST(len, max_tokens-1) formula
+        bins = np.minimum(lengths, max_tokens - 1) // bin_width
         h = (pa.table({"sink": sink,
                        "bin": pa.array(bins.astype(np.int32), type=pa.int32())})
              .group_by(["sink", "bin"]).aggregate([([], "count_all")])
@@ -128,8 +131,17 @@ def per_sink_counts_and_hist(routed: rd.Dataset, *, bin_width: int = 64,
                                      pc.cast(h["cnt"], pa.int64()).combine_chunks()]),
         })
 
-    partials = pa.concat_tables(
-        _collect(routed.map_batches(partial, batch_format="pyarrow")))
+    collected = _collect(routed.map_batches(partial, batch_format="pyarrow"))
+    if not collected:  # zero-block input: empty tables with the schema
+        empty_counts = pa.table({"sink": pa.array([], pa.string()),
+                                 "source": pa.array([], pa.string()),
+                                 "parse_class": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+        empty_hist = pa.table({"sink": pa.array([], pa.string()),
+                               "bin": pa.array([], pa.int32()),
+                               "cnt": pa.array([], pa.int64())})
+        return empty_counts, empty_hist
+    partials = pa.concat_tables(collected)
     counts = (partials.filter(pc.equal(partials["kind"], 0))
               .group_by(["sink", "source", "parse_class"])
               .aggregate([("cnt", "sum")])
@@ -157,8 +169,9 @@ def ntok_histogram(routed: rd.Dataset, *, bin_width: int = 64,
                    per_sink: bool = True) -> rd.Dataset:
     """A3 — fixed-width histogram of the REAL token count len(tokens).
 
-    Per block: bin = min(len, max_tokens) // bin_width, then an in-block
-    group count; final groupby sums partials. Output columns:
+    Per block: bin = min(len, max_tokens-1) // bin_width (overflow rows in
+    the TOP bin — bin domain stays [0, max_tokens/bin_width)), then an
+    in-block group count; final groupby sums partials. Output columns:
     (sink?, bin:int32, cnt:int64).
     """
     keys = (["sink"] if per_sink else []) + ["bin"]
@@ -169,7 +182,7 @@ def ntok_histogram(routed: rd.Dataset, *, bin_width: int = 64,
             tokens = tokens.combine_chunks()
         lengths = (tokens.offsets.to_numpy()[1:]
                    - tokens.offsets.to_numpy()[:-1]).astype(np.int64)
-        bins = np.minimum(lengths, max_tokens) // bin_width
+        bins = np.minimum(lengths, max_tokens - 1) // bin_width
         t = pa.table({
             **({"sink": batch["sink"].combine_chunks()
                 if isinstance(batch["sink"], pa.ChunkedArray)
@@ -211,33 +224,49 @@ def distinct_count(ds: rd.Dataset, col: str) -> int:
             .unique(col).__len__())
 
 
-def exact_quantiles_bounded(ds: rd.Dataset, col: str,
-                            qs: list[float]) -> dict[float, float]:
+def exact_quantiles_bounded(ds: rd.Dataset, col: str, qs: list[float],
+                            group_keys: list[str] | None = None):
     """EXACT quantiles for a bounded discrete domain at any scale.
 
     Per block: a value-count table (domain is small — e.g. token lengths
     ≤ 4096, quantities ≤ 50); merge counts; read quantiles off the CDF.
-    Matches DuckDB ``quantile_disc``: sorted[floor((n-1)*q)]. The shuffle
-    moves only (distinct values × blocks) count rows — never data.
+    Matches DuckDB ``quantile_disc``: sorted[floor((n-1)*q)], and like it
+    IGNORES null values. The shuffle moves only (distinct values × blocks)
+    count rows — never data.
+
+    Returns ``{q: value}``, or ``{group_tuple: {q: value}}`` when
+    ``group_keys`` is given (the single generalized implementation — grouped
+    callers must not re-derive the CDF read). Raises ValueError when the
+    (global) input has no non-null values.
     """
+    keys = list(group_keys or [])
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = (batch.select([col]).group_by([col])
+        g = (batch.select(keys + [col]).group_by(keys + [col])
              .aggregate([([], "count_all")])
-             .rename_columns([col, "partial_rows"]))
+             .rename_columns(keys + [col, "partial_rows"]))
         return g
 
     counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(col).aggregate(Sum("partial_rows", alias_name="cnt"))
-              .to_pandas().sort_values(col))
-    values = counts[col].to_numpy()
-    cum = counts["cnt"].to_numpy().cumsum()
-    n = int(cum[-1])
-    out = {}
-    for q in qs:
-        idx = int(np.floor((n - 1) * q))
-        out[q] = float(values[np.searchsorted(cum, idx + 1)])
-    return out
+              .groupby(keys + [col])
+              .aggregate(Sum("partial_rows", alias_name="cnt"))
+              .to_pandas())
+    counts = counts[counts[col].notna()].sort_values(keys + [col])
+
+    def read_cdf(g):
+        values = g[col].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        return {q: float(values[np.searchsorted(
+            cum, int(np.floor((n - 1) * q)) + 1)]) for q in qs}
+
+    if not keys:
+        if counts.empty:
+            raise ValueError(f"exact_quantiles_bounded: no non-null "
+                             f"values in {col!r}")
+        return read_cdf(counts)
+    return {(k if isinstance(k, tuple) else (k,)): read_cdf(g)
+            for k, g in counts.groupby(keys)}
 
 
 # ---------------------------------------------------------------------------
