@@ -30,7 +30,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min
 
-from ..hashing import stable_hash_strings
+from ..hashing import stable_hash_ints, stable_hash_strings
 
 # ---------------------------------------------------------------------------
 # exact dedup (U4)
@@ -82,8 +82,8 @@ def _dedup_by_hash(ds: rd.Dataset, hash_fns, key_col: str,
         return joined.map_batches(lambda b: b.select(keep_cols),
                                   batch_format="pyarrow")
 
-    winners = pa.concat_tables(
-        [ray.get(r) for r in winners_ds.to_arrow_refs()])["winner"]
+    from .util import collect_table
+    winners = collect_table(winners_ds)["winner"]
     winner_ref = ray.put(winners.combine_chunks())
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -127,54 +127,43 @@ def exact_dedup_tokens(ds: rd.Dataset, tokens_col: str = "tokens",
         key_col, broadcast_limit=broadcast_limit)
 
 
-def apply_pair_dedup(ds: rd.Dataset, pairs, key_col: str = "doc_id",
-                     broadcast_limit: int = 5_000_000,
-                     num_partitions: int | None = None) -> rd.Dataset:
-    """Apply verified near-dup PAIRS to the corpus: union-find the pairs into
-    connected components, keep the min-``key_col`` member of each component,
-    drop the rest — the step that turns a pair list into a deduplicated
-    corpus.
-
-    Pairs are ≪ corpus by LSH's contract, so the union-find runs driver-side
-    over the pair list only (the corpus never leaves the cluster); the loser
-    set broadcasts via ray.put for a zero-copy is_in filter per batch, with
-    the same partitioned anti-join escape hatch as exact dedup if losers ever
-    outgrow broadcast. Deterministic: min-key winner per component.
-    """
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by key order keeps the min key at the root
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    losers = sorted({x for x in parent if find(x) != x})
-    if not losers:
+def _drop_keys(ds: rd.Dataset, losers, key_col: str,
+               broadcast_limit: int = 5_000_000,
+               num_partitions: int | None = None) -> rd.Dataset:
+    """Drop corpus rows whose ``key_col`` is in ``losers`` (a list/pa.Array
+    of unique keys, or a Dataset with column ``_loser``). Two plans:
+    BROADCAST (losers ≤ broadcast_limit → ray.put + zero-copy is_in per
+    task) and PARTITIONED ANTI JOIN (left_outer against the loser keys with
+    a match marker, keep the unmatched rows — loser keys are unique so no
+    row expansion; the join key column itself is coalesced by the native
+    join, hence the separate marker; falls back to the portable bucketed
+    left join on Ray builds without Dataset.join)."""
+    if isinstance(losers, rd.Dataset):
+        loser_ds = losers.materialize()
+        n_losers = loser_ds.count()
+    else:
+        loser_ds = None
+        n_losers = len(losers)
+    if n_losers == 0:
         return ds
-    if len(losers) > broadcast_limit:
-        # partitioned ANTI join: left_outer against the loser keys with a
-        # match marker, keep the unmatched (null-marker) rows — loser keys
-        # are unique so no row expansion; the join key column itself is
-        # coalesced by the native join, hence the separate marker. Falls
-        # back to the portable bucketed left join on Ray builds without
-        # Dataset.join (same degradation path as equi_join).
+    if n_losers > broadcast_limit:
         if num_partitions is None:
             # the native join runs one aggregator actor per partition; more
             # partitions than cluster CPUs deadlocks a small cluster
             num_partitions = min(
                 64, max(2, int(ray.cluster_resources().get("CPU", 8))))
-        loser_tbl = pa.table({
-            "_loser": pa.array(losers),
-            "_hit": pa.array(np.ones(len(losers), dtype=np.int8))})
-        loser_ds = rd.from_arrow(loser_tbl)
+        if loser_ds is None:
+            loser_ds = rd.from_arrow(pa.table({
+                "_loser": pa.array(losers),
+                "_hit": pa.array(np.ones(n_losers, dtype=np.int8))}))
+        else:
+            # repartition drops the schema-LESS empty blocks that map_groups
+            # pipelines emit (map_batches passes 0-row blocks through without
+            # invoking the UDF) — the native join's aggregator raises on them
+            loser_ds = loser_ds.map_batches(
+                lambda b: b.select(["_loser"]).append_column(
+                    "_hit", pa.array(np.ones(b.num_rows, dtype=np.int8))),
+                batch_format="pyarrow").repartition(num_partitions)
         keep_cols = ds.schema().names
         try:
             kept = ds.join(loser_ds, join_type="left_outer",
@@ -191,13 +180,156 @@ def apply_pair_dedup(ds: rd.Dataset, pairs, key_col: str = "doc_id",
             lambda b: b.filter(pc.is_null(b["_hit"], nan_is_null=True))
             .select(keep_cols),
             batch_format="pyarrow")
-    loser_ref = ray.put(pa.array(losers))
+    if loser_ds is not None:
+        from .util import collect_table
+        larr = collect_table(loser_ds)["_loser"]
+        loser_ref = ray.put(larr.combine_chunks())
+    else:
+        loser_ref = ray.put(pa.array(losers))
 
     def keep(batch: pa.Table) -> pa.Table:
         ls = ray.get(loser_ref)
         return batch.filter(pc.invert(pc.is_in(batch[key_col], value_set=ls)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _labels_checksum(labels: rd.Dataset) -> int:
+    """Order-insensitive checksum of a (node, label) Dataset — one thin
+    aggregate, used as the convergence test of ``pair_components``. Labels
+    are min-monotone per node, so "checksum unchanged" ⇒ "no label changed"
+    up to a ~2⁻⁴⁰ per-iteration hash-collision risk (partials are taken
+    mod 2⁴⁰ to keep the int64 Sum overflow-free)."""
+
+    def part(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = stable_hash_ints(_col_hash(b["node"])
+                                 ^ stable_hash_ints(_col_hash(b["label"])))
+        s = int(h.sum(dtype=np.uint64) % np.uint64(1 << 40))
+        return pa.table({"s": pa.array([s], type=pa.int64())})
+
+    return int(labels.map_batches(part, batch_format="pyarrow").sum("s"))
+
+
+def pair_components(pairs: rd.Dataset, *, max_iters: int = 30,
+                    n_parts: int = 64) -> rd.Dataset:
+    """Connected components of a near-dup PAIR graph, fully distributed →
+    (node, label) with label = min node id of the component.
+
+    Hash-partitioned min-label propagation with pointer jumping: each round
+    (a) every node takes the min label over itself and its neighbors (one
+    equi-join of the symmetric edge list against current labels + one
+    groupby-min), then (b) labels jump to their label's label (one more
+    join) — path halving, so convergence is O(log diameter) rounds, each a
+    constant number of shuffles of PAIR-scale data. The driver sees one
+    int checksum per round, never nodes or edges. Raises RuntimeError if
+    ``max_iters`` rounds don't converge (components from LSH near-dup pairs
+    are near-cliques; diameter beyond 2^30 means the input isn't that).
+    """
+    from ray.data.aggregate import Min as MinAgg
+
+    from .join import equi_join
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b["a"]
+        bb = b["b"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, bb]),
+                         "v": pa.concat_arrays([bb, a])})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    labels = _distinct_ids_ds(pairs, n_parts).map_batches(
+        lambda b: pa.table({"node": b["_cid"], "label": b["_cid"]}),
+        batch_format="pyarrow").materialize()
+    prev_sig = None
+    for _ in range(max_iters):
+        lab_v = labels.map_batches(
+            lambda b: pa.table({"_vn": b["node"], "_vl": b["label"]}),
+            batch_format="pyarrow")
+        nbr = equi_join(edges, lab_v, left_on="v", right_on="_vn",
+                        how="inner").map_batches(
+            lambda b: pa.table({"node": b["u"], "label": b["_vl"]}),
+            batch_format="pyarrow")
+        new = (labels.union(nbr).groupby("node")
+               .aggregate(MinAgg("label", alias_name="label")))
+        # pointer jump (path halving): label ← label(label); every label IS
+        # a node, so the inner join is total
+        lab_n = new.map_batches(
+            lambda b: pa.table({"_pn": b["node"], "_pl": b["label"]}),
+            batch_format="pyarrow")
+        new = equi_join(new, lab_n, left_on="label", right_on="_pn",
+                        how="inner").map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["_pl"]}),
+            batch_format="pyarrow").materialize()
+        sig = _labels_checksum(new)
+        labels = new
+        if sig == prev_sig:
+            return labels
+        prev_sig = sig
+    raise RuntimeError(
+        f"pair_components did not converge in {max_iters} rounds — the pair "
+        "graph has pathological diameter; raise max_iters")
+
+
+def apply_pair_dedup(ds: rd.Dataset, pairs, key_col: str = "doc_id",
+                     broadcast_limit: int = 5_000_000,
+                     num_partitions: int | None = None,
+                     pairs_driver_limit: int = 2_000_000) -> rd.Dataset:
+    """Apply verified near-dup PAIRS to the corpus: connected components →
+    keep the min-``key_col`` member of each component, drop the rest — the
+    step that turns a pair list into a deduplicated corpus.
+
+    ``pairs`` is a list of (a, b) tuples OR a Dataset with columns (a, b).
+    Plans, chosen by pair count:
+
+    - DRIVER union-find (pairs ≤ ``pairs_driver_limit``): path-compressed
+      union-find over the pair list only — the corpus never leaves the
+      cluster. The common case: pairs ≪ corpus is LSH's contract.
+    - DISTRIBUTED components (``pair_components``): hash-partitioned
+      min-label propagation — driver memory independent of pair count, for
+      corpora whose dup rate makes the pair list itself cluster-sized.
+
+    Losers are dropped by ``_drop_keys`` (broadcast ≤ ``broadcast_limit``,
+    partitioned anti-join beyond). Deterministic: min-key winner per
+    component.
+    """
+    if isinstance(pairs, rd.Dataset):
+        pairs = pairs.materialize()
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            return ds
+        if n_pairs > pairs_driver_limit:
+            comp = pair_components(pairs)
+            losers = comp.map_batches(
+                lambda b: pa.table({"_loser": b["node"].filter(
+                    pc.invert(pc.equal(b["node"], b["label"])))}),
+                batch_format="pyarrow")
+            return _drop_keys(ds, losers, key_col, broadcast_limit,
+                              num_partitions)
+        from .util import collect_table
+        tbl = collect_table(pairs)
+        pairs = list(zip(tbl["a"].to_pylist(), tbl["b"].to_pylist()))
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by key order keeps the min key at the root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    losers = sorted({x for x in parent if find(x) != x})
+    return _drop_keys(ds, losers, key_col, broadcast_limit, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -304,30 +436,66 @@ class MinHasher:
         return minhash_text_band_rows(batch, **self.kw)
 
 
+def _col_hash(col) -> np.ndarray:
+    """uint64 stable hash of an id column (int or string), chunk-safe."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return stable_hash_ints(col.to_numpy())
+    return stable_hash_strings(col)
+
+
+def _dedup_pairs_ds(pairs: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
+    """Globally-unique (a, b) rows WITHOUT a driver collection: identical
+    pairs hash to the same ``hash(a) ^ mix(hash(b)) % n_parts`` partition, so
+    a per-partition ``drop_duplicates`` is a global dedup. One shuffle of the
+    pair list (≪ corpus); extra columns (e.g. hamming) ride along."""
+    import pandas as pd
+
+    cols = [c for c in pairs.schema().names]
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = _col_hash(batch["a"]) ^ stable_hash_ints(_col_hash(batch["b"]))
+        return batch.append_column(
+            "_ppid", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g[cols]
+        return g.drop_duplicates(subset=["a", "b"])[cols]
+
+    return (pairs.map_batches(add_pid, batch_format="pyarrow")
+            .groupby("_ppid").map_groups(per_part, batch_format="pandas"))
+
+
 def _lsh_candidate_pairs(sig: rd.Dataset, max_bucket: int = 2048,
-                         n_parts: int = 64) -> list[tuple]:
-    """Band rows → unordered candidate pairs (a < b), distributed in ONE
-    shuffle: band rows are grouped by ``bucket_key % n_parts`` (n_parts ≈
-    cluster parallelism, NOT one group per bucket — per-group overhead over
-    ~10⁵ mostly-singleton buckets would dominate), and each partition runs a
-    vectorized sort + segment-boundary scan that skips singleton buckets and
-    expands colliding ones with ``np.triu_indices``. No count pre-pass, no
-    driver-held hot-key set: the expansion never touches the driver, and
-    nothing driver-side scales with bucket-count cardinality.
+                         n_parts: int = 64) -> rd.Dataset:
+    """Band rows → Dataset of unordered, globally-unique candidate pairs
+    (a < b), fully distributed — the driver never sees bucket contents OR the
+    pair list. Two shuffles, both of thin data:
+
+    1. band rows are grouped by ``bucket_key % n_parts`` (n_parts ≈ cluster
+       parallelism, NOT one group per bucket — per-group overhead over ~10⁵
+       mostly-singleton buckets would dominate) and each partition runs a
+       vectorized sort + segment-boundary scan that skips singleton buckets
+       and expands colliding ones with ``np.triu_indices``;
+    2. the expanded pairs are re-partitioned by a PAIR hash and deduplicated
+       per partition (``_dedup_pairs_ds``) — the same pair emitted from
+       buckets that landed in different partitions collides here, so the
+       per-partition dedup is global.
 
     Buckets larger than ``max_bucket`` ids (one pathological bucket of N
     identical docs would otherwise emit N²/2 pairs) are truncated to the
     first ``max_bucket`` sorted ids, the drop logged worker-side — exact
     dedup is the right tool for such a bucket's contents.
 
-    The driver sees only the deduplicated candidate-pair list (≪ corpus by
-    LSH's contract), never the bucket contents.
+    Returns a MATERIALIZED Dataset (pairs are ≪ corpus by LSH's contract and
+    every consumer — verify join, components — reads them at least twice).
     """
     import logging
 
     import pandas as pd
-
-    from ..hashing import stable_hash_ints
 
     def key_col(batch: pa.Table) -> pa.Table:
         bh = batch["band_hash"].to_numpy().astype(np.uint64)
@@ -342,6 +510,8 @@ def _lsh_candidate_pairs(sig: rd.Dataset, max_bucket: int = 2048,
     keyed = sig.map_batches(key_col, batch_format="pyarrow")
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"a": [], "b": []})
         g = g.sort_values(["key", "doc_id"], kind="mergesort")
         k = g["key"].to_numpy()
         d = g["doc_id"].to_numpy()
@@ -366,23 +536,209 @@ def _lsh_candidate_pairs(sig: rd.Dataset, max_bucket: int = 2048,
         return pd.DataFrame({"a": np.concatenate(a_out),
                              "b": np.concatenate(b_out)})
 
-    pairs_df = (keyed.groupby("_pid")
-                .map_groups(per_part, batch_format="pandas").to_pandas())
-    if pairs_df.empty:
-        return []
-    pairs_df = pairs_df.drop_duplicates().sort_values(["a", "b"])
-    return list(pairs_df.itertuples(index=False, name=None))
+    raw = (keyed.groupby("_pid")
+           .map_groups(per_part, batch_format="pandas")).materialize()
+    if raw.count() == 0:
+        return raw
+    return _dedup_pairs_ds(raw, n_parts).materialize()
+
+
+# --------------------------------------------------------------------------
+# Distributed pair verify (shared by text / token / embedding near-dup):
+# candidate payloads are computed IN the cluster, joined onto the pair
+# Dataset (broadcast when small, partitioned equi-join beyond — equi_join's
+# plan selection), and the exact Jaccard / cosine check runs vectorized
+# inside map_batches. The driver sees only the VERIFIED output table.
+# --------------------------------------------------------------------------
+
+
+def _distinct_ids_ds(pairs: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
+    """Distinct ids appearing in either pair column — per-block unique, then
+    hash-partitioned global dedup (same trick as ``_dedup_pairs_ds``)."""
+    import pandas as pd
+
+    def ids(batch: pa.Table) -> pa.Table:
+        a = batch["a"]
+        b = batch["b"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        u = pc.unique(pa.concat_arrays([a, b]))
+        pid = (_col_hash(u) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"_cid": u, "_ipid": pa.array(pid)})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["_cid"])[["_cid"]]
+
+    return (pairs.map_batches(ids, batch_format="pyarrow")
+            .groupby("_ipid").map_groups(per_part, batch_format="pandas"))
+
+
+def _semi_gather(ds: rd.Dataset, pairs: rd.Dataset, id_col: str,
+                 cols: list[str],
+                 broadcast_ids_limit: int = 5_000_000) -> rd.Dataset:
+    """Corpus rows whose ``id_col`` appears in the pair Dataset, projected to
+    ``cols``. Two plans: BROADCAST the distinct-id array (ids ≤ limit — thin
+    ids only, never payloads) with a zero-copy ``is_in`` per task, else a
+    hash-partitioned semi-join (``equi_join`` inner against the unique ids —
+    corpus shuffles once; driver memory independent of candidate count)."""
+    ids_ds = _distinct_ids_ds(pairs).materialize()
+    n_ids = ids_ds.count()
+    if n_ids <= broadcast_ids_limit:
+        from .util import collect_table
+        id_arr = collect_table(ids_ds)["_cid"]
+        id_ref = ray.put(id_arr.combine_chunks())
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[id_col], value_set=ray.get(id_ref))
+            return batch.filter(mask).select(cols)
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+    from .join import equi_join
+    sub = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+    joined = equi_join(sub, ids_ds, left_on=id_col, right_on="_cid",
+                       how="inner", broadcast_limit=0)
+    return joined.map_batches(lambda b: b.select(cols),
+                              batch_format="pyarrow")
+
+
+def _attach_payloads(pairs: rd.Dataset, payload: rd.Dataset, id_col: str,
+                     val_col: str) -> rd.Dataset:
+    """Join ``payload`` (id_col, val_col — unique per id) onto both pair
+    sides → (a, b, <val_col>_a, <val_col>_b). Plan selection (broadcast vs
+    partitioned hash join) is ``equi_join``'s; payload is materialized once
+    so the two joins don't re-execute the corpus scan."""
+    from .join import equi_join
+
+    payload = payload.materialize()
+
+    def ren(ka: str, va: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({ka: b[id_col], va: b[val_col]})
+        return fn
+
+    pa_a = payload.map_batches(ren("_ka", f"{val_col}_a"),
+                               batch_format="pyarrow")
+    pa_b = payload.map_batches(ren("_kb", f"{val_col}_b"),
+                               batch_format="pyarrow")
+    j1 = equi_join(pairs, pa_a, left_on="a", right_on="_ka", how="inner")
+    return equi_join(j1, pa_b, left_on="b", right_on="_kb", how="inner")
+
+
+def _list_segments(col) -> tuple[np.ndarray, np.ndarray]:
+    """(lengths, rebased flat values) of a list column — offset-aware: a
+    zero-copy sliced ListArray's offsets are ABSOLUTE into the parent values
+    buffer, so both are rebased via offsets[0]."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = col.offsets.to_numpy().astype(np.int64)
+    lengths = offs[1:] - offs[:-1]
+    vals = col.values.to_numpy()[offs[0]:offs[-1]]
+    return lengths, vals
+
+
+def _jaccard_verify_fn(threshold: float, id_type: pa.DataType):
+    """Vectorized exact-Jaccard verify over (a, b, sh_a, sh_b) batches: each
+    side's shingle list is a UNIQUE sorted set, so after one lexsort of
+    (pair_idx, value) the per-pair intersection size is the count of adjacent
+    equal values — no per-pair Python. Empty-vs-empty (union == 0) is
+    DEFINED as jaccard 1.0 (can't arise via LSH candidacy: zero-shingle rows
+    never emit band rows)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"a": pa.array([], id_type),
+                             "b": pa.array([], id_type),
+                             "jaccard": pa.array([], pa.float64())})
+        la, va = _list_segments(batch["sh_a"])
+        lb, vb = _list_segments(batch["sh_b"])
+        pidx = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la),
+                               np.repeat(np.arange(n, dtype=np.int64), lb)])
+        vals = np.concatenate([va, vb])
+        order = np.lexsort((vals, pidx))
+        sp, sv = pidx[order], vals[order]
+        dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+        inter = np.bincount(sp[1:][dup], minlength=n)
+        union = la + lb - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        j = np.round(j, 4)
+        keep = pa.array(j >= threshold)
+        return pa.table({
+            "a": batch["a"].filter(keep),
+            "b": batch["b"].filter(keep),
+            "jaccard": pa.array(j[j >= threshold]),
+        })
+
+    return fn
+
+
+def _collect_pairs_sorted(ds: rd.Dataset, empty: pa.Table) -> pa.Table:
+    """Materialize a VERIFIED pair Dataset (the final, small output) as one
+    table sorted by (a, b)."""
+    from .util import collect_table
+    tbl = collect_table(ds)
+    if tbl.num_rows == 0:
+        return empty
+    return tbl.combine_chunks().sort_by([("a", "ascending"),
+                                         ("b", "ascending")])
 
 
 def minhash_candidates(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
-                       k: int = 3, text_col: str = "text") -> list[tuple]:
-    """LSH bucket groupby → unordered candidate pairs (a < b)."""
+                       k: int = 3, text_col: str = "text") -> rd.Dataset:
+    """LSH bucket groupby → Dataset of unique candidate pairs (a < b)."""
     assert num_perm % bands == 0
     sig = ds.map_batches(minhash_text_band_rows,
                          fn_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
                                         text_col=text_col),
                          batch_format="pyarrow")
     return _lsh_candidate_pairs(sig)
+
+
+def _shingle_set_fn(shingle_of_batch, id_col: str = "doc_id"):
+    """map_batches payload fn: per-row UNIQUE sorted shingle-hash sets as a
+    list<int64> column (uint64 hashes viewed as int64 — equality-preserving).
+    Vectorized: one lexsort of (row, hash) + adjacent-dup mask, no per-row
+    Python."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sh, starts, n_out = shingle_of_batch(batch)
+        n = len(n_out)
+        row = np.repeat(np.arange(n, dtype=np.int64), n_out)
+        if len(sh):
+            order = np.lexsort((sh, row))
+            sv, rv = sh[order], row[order]
+            keep = np.ones(len(sv), dtype=bool)
+            keep[1:] = (sv[1:] != sv[:-1]) | (rv[1:] != rv[:-1])
+            vals = sv[keep].astype(np.int64)
+            counts = np.bincount(rv[keep], minlength=n)
+        else:
+            vals = np.array([], dtype=np.int64)
+            counts = np.zeros(n, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                       pa.array(vals, type=pa.int64()))
+        return pa.table({id_col: batch[id_col], "sh": lst})
+
+    return fn
+
+
+def _verify_pairs_jaccard(ds: rd.Dataset, pairs: rd.Dataset,
+                          shingle_of_batch, *, threshold: float,
+                          id_col: str, payload_cols: list[str],
+                          empty: pa.Table) -> pa.Table:
+    """Shared distributed verify: gather candidate rows (semi-filter, two
+    plans) → compute per-row shingle SETS in the cluster → join sets onto
+    both pair sides → vectorized exact Jaccard in map_batches → collect the
+    verified output only. No corpus payload ever reaches the driver."""
+    payload = _semi_gather(ds, pairs, id_col, payload_cols).map_batches(
+        _shingle_set_fn(shingle_of_batch, id_col), batch_format="pyarrow")
+    joined = _attach_payloads(pairs, payload, id_col, "sh")
+    verified = joined.map_batches(
+        _jaccard_verify_fn(threshold, empty.schema.field("a").type),
+        batch_format="pyarrow")
+    return _collect_pairs_sorted(verified, empty)
 
 
 def ngram_jaccard(texts: dict, pairs: list[tuple], k: int = 3) -> list[dict]:
@@ -406,36 +762,38 @@ def ngram_jaccard(texts: dict, pairs: list[tuple], k: int = 3) -> list[dict]:
     return out
 
 
+def _id_type_of(ds: rd.Dataset, id_col: str) -> pa.DataType:
+    s = ds.schema()
+    return dict(zip(s.names, s.types))[id_col]
+
+
 def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.7,
                         num_perm: int = 64, bands: int = 16, k: int = 3,
                         text_col: str = "text") -> pa.Table:
-    """Near-dup pairs with verified Jaccard ≥ threshold.
+    """Near-dup pairs with verified word-shingle Jaccard ≥ threshold.
 
-    Verification reads candidate texts via a driver-side broadcast lookup —
-    valid while |candidates| ≪ corpus (LSH's contract); see module docstring
-    for the cluster-scale variant.
+    Fully distributed: LSH candidates stay a Dataset, candidate shingle SETS
+    are computed in the cluster and joined onto the pairs (broadcast /
+    partitioned plan by size), and the exact Jaccard runs vectorized inside
+    map_batches — the driver sees only the verified output table.
     """
+    id_type = _id_type_of(ds, "doc_id")
+    empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type),
+                      "jaccard": pa.array([], pa.float64())})
     pairs = minhash_candidates(ds, num_perm, bands, k, text_col)
-    if not pairs:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    need = {x for p in pairs for x in p}
-    need_ref = ray.put(pa.array(sorted(need)))
+    if pairs.count() == 0:
+        return empty
 
-    def project(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["doc_id"], value_set=ray.get(need_ref))
-        return batch.filter(mask).select(["doc_id", text_col])
+    def shingles(batch: pa.Table):
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return text_shingle_hashes(text, k)
 
-    texts = {r["doc_id"]: r[text_col]
-             for r in ds.map_batches(project, batch_format="pyarrow")
-             .to_pandas().to_dict("records")}
-    verified = [r for r in ngram_jaccard(texts, pairs, k)
-                if r["jaccard"] >= threshold]
-    verified.sort(key=lambda r: (r["a"], r["b"]))
-    return pa.Table.from_pylist(verified) if verified else pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "jaccard": pa.array([], pa.float64())})
+    return _verify_pairs_jaccard(ds, pairs, shingles, threshold=threshold,
+                                 id_col="doc_id",
+                                 payload_cols=["doc_id", text_col],
+                                 empty=empty)
 
 
 # ---------------------------------------------------------------------------
@@ -528,10 +886,16 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
 
     pairs = (sigs.map_batches(explode_bands, batch_format="pyarrow")
              .groupby(["band", "chunk"])
-             .map_groups(pairs_in_bucket, batch_format="pyarrow"))
-    df = pairs.to_pandas().drop_duplicates(subset=["a", "b"])
-    df = df.sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+             .map_groups(pairs_in_bucket, batch_format="pyarrow")
+             ).materialize()
+    id_type = _id_type_of(ds, "doc_id")
+    empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type),
+                      "hamming": pa.array([], pa.int32())})
+    if pairs.count() == 0:
+        return empty
+    # cross-band duplicates of the same pair collide in one partition of the
+    # pair-hash groupby — global dedup without a driver-side pandas pass
+    return _collect_pairs_sorted(_dedup_pairs_ds(pairs), empty)
 
 
 # ---------------------------------------------------------------------------
@@ -651,17 +1015,19 @@ def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
 
     Plan: band-row map_batches (vectors never shuffle; band rows are 3 thin
     columns) → shared distributed bucket-count + in-bucket pair expansion
-    (``_lsh_candidate_pairs``) → exact cosine verify over the gathered
-    candidate vectors only. The driver sees candidate pairs and candidate
-    vectors, never the corpus. Band count derives from (threshold,
-    target_recall): recall ≥ target_recall at the threshold, →1 above it;
-    the verify stage is exact, so precision is always 1.
+    (``_lsh_candidate_pairs``) → DISTRIBUTED exact-cosine verify: candidate
+    vectors are normalized in the cluster, joined onto the pair Dataset
+    (broadcast / partitioned plan by size), and the dot product runs inside
+    map_batches — the driver sees only the verified output. Band count
+    derives from (threshold, target_recall): recall ≥ target_recall at the
+    threshold, →1 above it; the verify stage is exact, so precision is
+    always 1.
 
     Zero vectors share every bucket by construction; their pairs are emitted
     (capped by ``max_bucket``) and rejected by the exact verify (cosine 0).
     """
-    empty = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64()),
+    id_type = _id_type_of(ds, id_col)
+    empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type),
                       "cosine": pa.array([], pa.float64())})
     n_bands = _hyperplane_bands(threshold, n_bits, target_recall)
     sig = ds.map_batches(
@@ -670,36 +1036,39 @@ def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
                        col=col, id_col=id_col),
         batch_format="pyarrow")
     pairs = _lsh_candidate_pairs(sig)
-    if not pairs:
+    if pairs.count() == 0:
         return empty
 
-    need_ref = ray.put(pa.array(sorted({x for p in pairs for x in p})))
-
-    def gather(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch[id_col], value_set=ray.get(need_ref))
-        return batch.filter(mask).select([id_col, col])
-
-    vecs: dict = {}
-    for bt in ds.map_batches(gather, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        M = _embedding_matrix(bt, col)
+    def normalize(batch: pa.Table) -> pa.Table:
+        M = _embedding_matrix(batch, col)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        for i, vid in enumerate(bt[id_col].to_pylist()):
-            vecs[vid] = Mn[i]
+        n, dim = Mn.shape
+        offs = (np.arange(n + 1, dtype=np.int32) * dim)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(Mn.reshape(-1), type=pa.float64()))
+        return pa.table({id_col: batch[id_col], "nv": lst})
 
-    a_ids = [a for a, _ in pairs]
-    b_ids = [b for _, b in pairs]
-    va = np.stack([vecs[a] for a in a_ids])
-    vb = np.stack([vecs[b] for b in b_ids])
-    cos = np.einsum("ij,ij->i", va, vb)
-    keep = cos >= threshold
-    if not keep.any():
-        return empty
-    return pa.table({
-        "a": pa.array(np.asarray(a_ids)[keep]),
-        "b": pa.array(np.asarray(b_ids)[keep]),
-        "cosine": pa.array(np.round(cos[keep], 4)),
-    })
+    payload = _semi_gather(ds, pairs, id_col, [id_col, col]).map_batches(
+        normalize, batch_format="pyarrow")
+    joined = _attach_payloads(pairs, payload, id_col, "nv")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        la, va = _list_segments(batch["nv_a"])
+        lb, vb = _list_segments(batch["nv_b"])
+        dim = int(la[0])
+        cos = np.einsum("ij,ij->i", va.reshape(n, dim), vb.reshape(n, dim))
+        cos = np.round(cos, 4)
+        keep = pa.array(cos >= threshold)
+        return pa.table({"a": batch["a"].filter(keep),
+                         "b": batch["b"].filter(keep),
+                         "cosine": pa.array(cos[cos >= threshold])})
+
+    verified = joined.map_batches(verify, batch_format="pyarrow")
+    return _collect_pairs_sorted(verified, empty)
 
 
 # ---------------------------------------------------------------------------
@@ -845,40 +1214,25 @@ def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
                                k: int = 3) -> pa.Table:
     """U5 on the flagship payload: near-dup pairs by token-shingle Jaccard.
 
-    Candidates from the LSH band groupby; verification computes exact shingle
-    Jaccard for candidate docs only (gathered via a broadcast id filter —
-    candidates ≪ corpus is LSH's contract)."""
+    Same fully-distributed plan as ``minhash_dedup_pairs``: candidates stay a
+    Dataset, token-shingle SETS are computed in the cluster and joined onto
+    the pairs, exact Jaccard runs vectorized in map_batches; the driver sees
+    only the verified output."""
     assert num_perm % bands == 0
+    id_type = _id_type_of(ds, "doc_id")
+    empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type),
+                      "jaccard": pa.array([], pa.float64())})
     sig = ds.map_batches(minhash_token_band_rows,
                          fn_kwargs=dict(num_perm=num_perm, bands=bands, k=k),
                          batch_format="pyarrow", batch_size=2048)
     pairs = _lsh_candidate_pairs(sig)
-    empty = pa.table({"a": pa.array([], pa.string()),
-                      "b": pa.array([], pa.string()),
-                      "jaccard": pa.array([], pa.float64())})
-    if not pairs:
+    if pairs.count() == 0:
         return empty
-    need = {x for p in pairs for x in p}
-    need_ref = ray.put(pa.array(sorted(need), type=pa.string()))
 
-    def project(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["doc_id"], value_set=ray.get(need_ref))
-        return batch.filter(mask).select(["doc_id", "tokens"])
+    def shingles(batch: pa.Table):
+        return token_shingle_hashes(batch["tokens"], k)
 
-    shingle_sets: dict[str, set] = {}
-    for bt in [b for b in ds.map_batches(project, batch_format="pyarrow")
-               .iter_batches(batch_size=None, batch_format="pyarrow")]:
-        sh, starts, n_out = token_shingle_hashes(bt["tokens"], k)
-        ends = starts + n_out
-        for i, d in enumerate(bt["doc_id"].to_pylist()):
-            shingle_sets[d] = set(sh[starts[i]:ends[i]].tolist())
-
-    out = []
-    for a, b in pairs:
-        sa, sb = shingle_sets[a], shingle_sets[b]
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 1.0
-        if j >= threshold:
-            out.append({"a": a, "b": b, "jaccard": round(j, 4)})
-    out.sort(key=lambda r: (r["a"], r["b"]))
-    return pa.Table.from_pylist(out) if out else empty
+    return _verify_pairs_jaccard(ds, pairs, shingles, threshold=threshold,
+                                 id_col="doc_id",
+                                 payload_cols=["doc_id", "tokens"],
+                                 empty=empty)

@@ -48,21 +48,38 @@ def equi_join(left: rd.Dataset, right: rd.Dataset, *, left_on: str,
        unavailable/incompatible.
     """
     if how in ("inner", "left") and broadcast_limit:
+        import logging
+
         try:
             right = right.materialize()  # count + collect read ONE execution
             n_right = right.count()
-        except Exception:
+        except (ray.exceptions.RayTaskError, ray.exceptions.RayError,
+                pa.ArrowInvalid, ValueError) as exc:
+            # a probe failure must not be silent: genuine execution errors
+            # would otherwise resurface later, unmaterialized, inside the
+            # native join with a less useful traceback AND a second
+            # execution of the right side
+            logging.getLogger(__name__).warning(
+                "equi_join broadcast probe failed (%s: %s) — falling back "
+                "to the shuffle plan", type(exc).__name__, exc)
             n_right = None
         if n_right is not None and n_right <= broadcast_limit:
-            rt = pa.concat_tables(
-                [ray.get(r) for r in right.to_arrow_refs()]).combine_chunks()
+            from .util import collect_table
+            rt = collect_table(right)
             keys = rt[right_on]
             if (keys.null_count == 0
                     and len(pc.unique(keys)) == n_right):
+                logging.getLogger(__name__).debug(
+                    "equi_join plan: BROADCAST (%d build rows on %s)",
+                    n_right, right_on)
                 return broadcast_hash_join(left, rt, left_on=left_on,
                                            right_on=right_on, how=how)
             # duplicate or null build keys → shuffle plan (null keys must
             # NOT match; pc.index_in would match null⋈null)
+            logging.getLogger(__name__).debug(
+                "equi_join plan: SHUFFLE (build side has %s on %s)",
+                "null keys" if keys.null_count else "duplicate keys",
+                right_on)
     # Ray's native join names outer joins "left_outer"/"right_outer"; keep
     # the pandas-style "left"/"right" at this interface
     native_how = {"left": "left_outer", "right": "right_outer",

@@ -69,23 +69,50 @@ class Decoder:
     def __init__(self, fake: bool = False) -> None:
         self.fake = fake
 
-    def _decode_one(self, payload: bytes, media_type: str) -> np.ndarray:
+    def _decode_one(self, payload: np.ndarray, media_type: str) -> np.ndarray:
+        """``payload`` is a zero-copy uint8 VIEW into the Arrow data buffer
+        (a real decoder hands it to the codec as a memoryview)."""
         if not self.fake:
             raise NotImplementedError(
                 "real decode requires an image/audio library not present in "
                 "this container; construct Decoder(fake=True) or install "
                 "PIL/torchaudio and implement here")
         # deterministic fake: per-chunk byte statistics as 'features'
-        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        arr = payload.astype(np.float64)
         chunks = np.array_split(arr, FEATURE_DIM)
         return np.array([c.mean() if c.size else 0.0 for c in chunks])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        pay = batch["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        # per-row decode is inherent, but the payload BYTES need no copy:
+        # slice uint8 views out of the Arrow data buffer directly instead of
+        # to_pylist() (which would copy every payload into Python bytes)
+        n = len(pay)
+        if n == 0 or pay.buffers()[1] is None:
+            # 0-row (or all-empty-payload) arrays can carry None buffers;
+            # empty payloads fake-decode to all-zero features, matching
+            # _decode_one on a zero-length view
+            out = batch.append_column(
+                "features", pa.array([[0.0] * FEATURE_DIM] * n,
+                                     type=pa.list_(pa.float64())))
+            return out.append_column("decode_ok",
+                                     pa.array([True] * n, type=pa.bool_()))
+        off_dtype = (np.int64 if pa.types.is_large_binary(pay.type)
+                     else np.int32)
+        off0 = pay.offset
+        offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype,
+                                count=n + 1 + off0)[off0:].astype(np.int64)
+        data = (np.frombuffer(pay.buffers()[2], dtype=np.uint8,
+                              count=int(offsets[-1]))
+                if pay.buffers()[2] is not None
+                else np.empty(0, dtype=np.uint8))
         feats, ok = [], []
-        for payload, mt in zip(batch["payload"].to_pylist(),
-                               batch["media_type"].to_pylist()):
+        for i, mt in enumerate(batch["media_type"].to_pylist()):
             try:
-                feats.append(self._decode_one(payload, mt).tolist())
+                view = data[offsets[i]:offsets[i + 1]]
+                feats.append(self._decode_one(view, mt).tolist())
                 ok.append(True)
             except NotImplementedError:
                 raise

@@ -104,7 +104,19 @@ class LangId:
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         n = len(text)
-        assert text.null_count == 0, "lang_id expects non-null text"
+        if text.null_count != 0:
+            raise ValueError(
+                f"lang_id expects non-null text ({text.null_count} nulls in "
+                "batch) — fill or filter nulls upstream")
+        # a 0-row (or all-empty-string) array can carry None buffers —
+        # np.frombuffer(None) would raise TypeError. All-empty rows score
+        # ascii_ratio 0 → "zh", identical to the vectorized path's result
+        # for an empty string inside a normal batch.
+        if n == 0 or text.buffers()[1] is None or text.buffers()[2] is None:
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(["zh"] * n, type=pa.string()),
+            })
         # Arrow strings ARE utf-8: read the offsets + data buffers directly
         off_dtype = np.int64 if pa.types.is_large_string(text.type) else np.int32
         off0 = text.offset  # sliced arrays start mid-buffer

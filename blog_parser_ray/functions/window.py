@@ -165,6 +165,10 @@ def session_windows(events: rd.Dataset, *, key: str = "user_id",
     gap = np.timedelta64(gap_minutes * 60 * 1_000_000_000, "ns")
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=g[key].dtype),
+                                 "sess": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
         g = g.sort_values([key, ts_col], kind="mergesort")
         kv = g[key].to_numpy()
         ts = g[ts_col].to_numpy()
@@ -200,6 +204,8 @@ def latest_per_key(ds: rd.Dataset, *, key: str, order_col: str,
     all keys at once (no per-key pandas)."""
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g[out_cols]
         g = g.sort_values([key, order_col, tiebreak],
                           ascending=[True, False, False], kind="mergesort")
         kv = g[key].to_numpy()

@@ -762,7 +762,12 @@ def media_features(sf_dir: str):
         feats = b["features"]
         if isinstance(feats, pa.ChunkedArray):
             feats = feats.combine_chunks()
-        M = feats.values.to_numpy().reshape(-1, FEATURE_DIM)
+        # offset-aware: a zero-copy SLICED ListArray keeps the parent values
+        # buffer, so raw .values would return more rows than the batch —
+        # rebase through offsets like _embedding_matrix does
+        offs = feats.offsets.to_numpy().astype(np.int64)
+        M = (feats.values.to_numpy()[offs[0]:offs[-1]]
+             .reshape(-1, FEATURE_DIM))
         t2 = pa.table({
             "media_type": b["media_type"],
             "f0_sum": pa.array(M[:, 0]),
