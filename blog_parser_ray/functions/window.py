@@ -216,3 +216,99 @@ def latest_per_key(ds: rd.Dataset, *, key: str, order_col: str,
 
     return (_with_pid(ds, key, n_parts)
             .groupby("_pid").map_groups(per_part, batch_format="pandas"))
+
+
+def _segment_sorted(g: pd.DataFrame, key: str, order_cols: list[str],
+                    ascending=None):
+    """Sort a partition by (key, *order_cols) and return (sorted frame,
+    first-row-of-key mask, index-of-key-start per row) — the shared prelude
+    of every per-key window kernel. Vectorized over ALL keys at once."""
+    cols = [key] + order_cols
+    if ascending is None:
+        ascending = [True] * len(cols)
+    g = g.sort_values(cols, ascending=ascending, kind="mergesort")
+    kv = g[key].to_numpy()
+    n = len(g)
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = kv[1:] != kv[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    start = np.maximum.accumulate(np.where(first, idx, 0))
+    return g, first, start
+
+
+def rank_in_group(ds: rd.Dataset, *, key: str, order_col: str,
+                  tiebreak: str, out_col: str = "rn",
+                  n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_col, tiebreak) —
+    deterministic total order. One shuffle on hash(key) % P; per-partition
+    work is one sort + arange arithmetic over all keys at once."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        g, first, start = _segment_sorted(g, key, [order_col, tiebreak])
+        idx = np.arange(len(g), dtype=np.int64)
+        out = g.copy()
+        out[out_col] = idx - start + 1
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .drop_columns(["_pid"]))
+
+
+def lag_diff_us(ds: rd.Dataset, *, key: str, ts_col: str, tiebreak: str,
+                out_col: str = "gap_us", fill: int = -1,
+                n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """Per key ordered by (ts_col, tiebreak): microseconds since the
+    previous row's ts (SQL ``date_diff('microsecond', lag(ts) OVER w, ts)``),
+    ``fill`` for each key's first row. Same hash-partition + shift-compare
+    pattern as the other window kernels."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        g, first, _ = _segment_sorted(g, key, [ts_col, tiebreak])
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = fill
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[first] = fill
+        out = g.copy()
+        out[out_col] = gap
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .drop_columns(["_pid"]))
+
+
+def running_sum(ds: rd.Dataset, *, key: str, order_col: str, tiebreak: str,
+                val_col: str, out_col: str = "cum",
+                n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """SUM(val) OVER (PARTITION BY key ORDER BY order_col, tiebreak ROWS
+    UNBOUNDED PRECEDING). ``val_col`` should be an INTEGER column (e.g.
+    cents) — integer running sums are exactly reproducible against any SQL
+    engine, float ones are not. Vectorized: one global cumsum, rebased at
+    each key start."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        g, first, start = _segment_sorted(g, key, [order_col, tiebreak])
+        v = g[val_col].to_numpy().astype(np.int64)
+        cs = np.cumsum(v)
+        out = g.copy()
+        out[out_col] = cs - cs[start] + v[start]
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .drop_columns(["_pid"]))

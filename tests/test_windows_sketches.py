@@ -173,3 +173,56 @@ def test_vocab_unknown_tokens():
     t = pa.table({"tokens": pa.array([[0, 999, 1], []], type=S.TOKENS_TYPE)})
     out = Vocab(k=4)(t)
     assert out["preview"].to_pylist() == ["<bos> <unk> <eos>", ""]
+
+
+def test_window_functions_match_pandas_reference():
+    """rank_in_group / lag_diff_us / running_sum vs pandas groupby reference,
+    partitioning-invariant (1 vs 8 input blocks)."""
+    from blog_parser_ray.functions.window import (lag_diff_us, rank_in_group,
+                                                  running_sum)
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n), type=pa.int64()),
+        "id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="us")),
+        "v": pa.array(rng.integers(0, 1000, n), type=pa.int64()),
+    })
+    df = t.to_pandas().sort_values(["k", "ts", "id"], kind="mergesort")
+    df["rn_ref"] = df.groupby("k").cumcount() + 1
+    ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+    df["gap_ref"] = (ts_us - ts_us.groupby(df["k"]).shift(1)).fillna(-1).astype("int64")
+    df["cum_ref"] = df.groupby("k")["v"].cumsum()
+
+    for blocks in (1, 8):
+        ds = rd.from_arrow(t).repartition(blocks)
+        rn = rank_in_group(ds, key="k", order_col="ts", tiebreak="id",
+                           out_col="rn").to_pandas().set_index("id")["rn"]
+        gap = lag_diff_us(ds, key="k", ts_col="ts", tiebreak="id",
+                          out_col="g").to_pandas().set_index("id")["g"]
+        cum = running_sum(ds, key="k", order_col="ts", tiebreak="id",
+                          val_col="v", out_col="c"
+                          ).to_pandas().set_index("id")["c"]
+        ref = df.set_index("id")
+        assert rn.reindex(ref.index).tolist() == ref["rn_ref"].tolist(), blocks
+        assert gap.reindex(ref.index).tolist() == ref["gap_ref"].tolist()
+        assert cum.reindex(ref.index).tolist() == ref["cum_ref"].tolist()
+
+
+def test_window_kernels_tolerate_empty_groups():
+    """ADVICE r2: per-partition kernels must return typed empty frames for
+    empty groups instead of indexing position 0."""
+    from blog_parser_ray.functions.window import latest_per_key
+
+    t = pa.table({"k": pa.array([1], type=pa.int64()),
+                  "ts": pa.array(pd.to_datetime(["2024-01-01"])),
+                  "id": pa.array([7], type=pa.int64())})
+    out = session_windows(rd.from_arrow(t), key="k", ts_col="ts",
+                          gap_minutes=30).to_pandas()
+    assert out["cnt"].tolist() == [1]
+    lp = latest_per_key(rd.from_arrow(t), key="k", order_col="ts",
+                        tiebreak="id", out_cols=["k", "id"]).to_pandas()
+    assert lp["id"].tolist() == [7]
