@@ -113,6 +113,25 @@ def run_once(num_cpus: int, sf_dir: str) -> dict:
         shutil.rmtree(out, ignore_errors=True)
     wall = sorted(walls)[len(walls) // 2]
 
+    # disk-sink accounting: the same pipeline with sinks on real disk
+    # (/tmp, virtio-backed) instead of tmpfs — reported alongside so a
+    # driver/recorded wall gap can be attributed to sink-write IO rather
+    # than guessed at. One warm-up + two timed runs, median.
+    disk_walls: list[float] = []
+    if os.environ.get("BPR_BENCH_DISK", "1") != "0":
+        for attempt in range(3):
+            out = f"/tmp/bpr_bench_diskout_{num_cpus}_{attempt}"
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.monotonic()
+            summary = flagship_run(corpus, out, spec, write_metrics=False)
+            dwall = time.monotonic() - t0
+            if attempt > 0:
+                disk_walls.append(dwall)
+            assert summary["conserved"], summary
+            shutil.rmtree(out, ignore_errors=True)
+    disk_wall = (sorted(disk_walls)[len(disk_walls) // 2]
+                 if disk_walls else None)
+
     from blog_parser_ray.pipelines.queries import QUERIES
     qtimes = {}
     if os.environ.get("BPR_BENCH_QUERIES", "1") != "0":
@@ -130,6 +149,9 @@ def run_once(num_cpus: int, sf_dir: str) -> dict:
         "num_cpus": num_cpus,
         "rows": rows,
         "walls": [round(w, 3) for w in walls],
+        "tmpfs_sink_sec": round(wall, 3),
+        "disk_sink_sec": round(disk_wall, 3) if disk_wall else None,
+        "disk_walls": [round(w, 3) for w in disk_walls],
         "rows_per_s": round(rows / wall, 1),
         "tokens": tokens,
         "tokens_per_s": round(tokens / wall, 1) if tokens else None,

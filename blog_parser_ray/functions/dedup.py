@@ -445,14 +445,17 @@ def _col_hash(col) -> np.ndarray:
     return stable_hash_strings(col)
 
 
-def _dedup_pairs_ds(pairs: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
+def _dedup_pairs_ds(pairs: rd.Dataset, n_parts: int = 64,
+                    cols: list[str] | None = None) -> rd.Dataset:
     """Globally-unique (a, b) rows WITHOUT a driver collection: identical
     pairs hash to the same ``hash(a) ^ mix(hash(b)) % n_parts`` partition, so
     a per-partition ``drop_duplicates`` is a global dedup. One shuffle of the
-    pair list (≪ corpus); extra columns (e.g. hamming) ride along."""
+    pair list (≪ corpus); extra columns (e.g. hamming) ride along. Pass
+    ``cols`` when known — ``schema()`` on a LAZY upstream would trigger an
+    extra execution."""
     import pandas as pd
 
-    cols = [c for c in pairs.schema().names]
+    cols = cols or [c for c in pairs.schema().names]
 
     def add_pid(batch: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
@@ -536,11 +539,10 @@ def _lsh_candidate_pairs(sig: rd.Dataset, max_bucket: int = 2048,
         return pd.DataFrame({"a": np.concatenate(a_out),
                              "b": np.concatenate(b_out)})
 
-    raw = (keyed.groupby("_pid")
-           .map_groups(per_part, batch_format="pandas")).materialize()
-    if raw.count() == 0:
-        return raw
-    return _dedup_pairs_ds(raw, n_parts).materialize()
+    raw = keyed.groupby("_pid").map_groups(per_part, batch_format="pandas")
+    # chain the pair-hash dedup onto the SAME pipeline (one execution, one
+    # materialize); cols passed explicitly so schema() never runs upstream
+    return _dedup_pairs_ds(raw, n_parts, cols=["a", "b"]).materialize()
 
 
 # --------------------------------------------------------------------------
@@ -601,6 +603,66 @@ def _semi_gather(ds: rd.Dataset, pairs: rd.Dataset, id_col: str,
                        how="inner", broadcast_limit=0)
     return joined.map_batches(lambda b: b.select(cols),
                               batch_format="pyarrow")
+
+
+_PAIRS_BROADCAST_LIMIT = 2_000_000
+
+
+def _verify_with_payload(ds: rd.Dataset, pairs: rd.Dataset, payload_fn,
+                         *, id_col: str, payload_cols: list[str],
+                         val_col: str, verify_fn, empty: pa.Table,
+                         pairs_broadcast_limit: int = _PAIRS_BROADCAST_LIMIT
+                         ) -> pa.Table:
+    """Shared verify driver: gather candidate payloads, attach them to both
+    pair sides, run ``verify_fn`` vectorized in map_batches, collect the
+    (small) verified output sorted by (a, b). Plan by measured pair count:
+
+    FAST PATH (pairs ≤ ``pairs_broadcast_limit``): the THIN pair table is
+    collected once, its distinct-id array broadcast for the corpus
+    semi-filter, the compact payload table (shingle sets / normalized
+    vectors — not raw texts) broadcast via one ray.put, and each pair batch
+    does two vectorized index_in+take lookups before the verify kernel.
+    Three cluster executions, no shuffle beyond candidate generation.
+
+    SCALE PATH: distinct ids via hash-partitioned dedup, semi-join gather,
+    ``equi_join`` payload attach on both sides — driver memory independent
+    of candidate count; payloads never leave the cluster.
+    """
+    n_pairs = pairs.count()
+    if n_pairs <= pairs_broadcast_limit:
+        from .util import collect_table
+
+        ptbl = collect_table(pairs)
+        uniq = pc.unique(pa.concat_arrays(
+            [ptbl["a"].combine_chunks(), ptbl["b"].combine_chunks()]))
+        id_ref = ray.put(uniq)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[id_col], value_set=ray.get(id_ref))
+            return batch.filter(mask).select(payload_cols)
+
+        payload_ds = (ds.map_batches(keep, batch_format="pyarrow")
+                      .map_batches(payload_fn, batch_format="pyarrow"))
+        pay_ref = ray.put(collect_table(payload_ds).combine_chunks())
+
+        def attach(batch: pa.Table) -> pa.Table:
+            pt = ray.get(pay_ref)
+            ia = pc.index_in(batch["a"], value_set=pt[id_col])
+            ib = pc.index_in(batch["b"], value_set=pt[id_col])
+            tbl = pa.table({
+                "a": batch["a"], "b": batch["b"],
+                f"{val_col}_a": pc.take(pt[val_col], ia),
+                f"{val_col}_b": pc.take(pt[val_col], ib)})
+            return verify_fn(tbl)
+
+        return _collect_pairs_sorted(
+            pairs.map_batches(attach, batch_format="pyarrow"), empty)
+
+    payload = _semi_gather(ds, pairs, id_col, payload_cols).map_batches(
+        payload_fn, batch_format="pyarrow")
+    joined = _attach_payloads(pairs, payload, id_col, val_col)
+    return _collect_pairs_sorted(
+        joined.map_batches(verify_fn, batch_format="pyarrow"), empty)
 
 
 def _attach_payloads(pairs: rd.Dataset, payload: rd.Dataset, id_col: str,
@@ -727,18 +789,20 @@ def _shingle_set_fn(shingle_of_batch, id_col: str = "doc_id"):
 def _verify_pairs_jaccard(ds: rd.Dataset, pairs: rd.Dataset,
                           shingle_of_batch, *, threshold: float,
                           id_col: str, payload_cols: list[str],
-                          empty: pa.Table) -> pa.Table:
-    """Shared distributed verify: gather candidate rows (semi-filter, two
-    plans) → compute per-row shingle SETS in the cluster → join sets onto
-    both pair sides → vectorized exact Jaccard in map_batches → collect the
-    verified output only. No corpus payload ever reaches the driver."""
-    payload = _semi_gather(ds, pairs, id_col, payload_cols).map_batches(
-        _shingle_set_fn(shingle_of_batch, id_col), batch_format="pyarrow")
-    joined = _attach_payloads(pairs, payload, id_col, "sh")
-    verified = joined.map_batches(
-        _jaccard_verify_fn(threshold, empty.schema.field("a").type),
-        batch_format="pyarrow")
-    return _collect_pairs_sorted(verified, empty)
+                          empty: pa.Table,
+                          pairs_broadcast_limit: int = _PAIRS_BROADCAST_LIMIT
+                          ) -> pa.Table:
+    """Distributed exact-Jaccard verify: per-row shingle SETS computed in
+    the cluster, attached to both pair sides (broadcast or join plan —
+    ``_verify_with_payload``), checked vectorized in map_batches. No raw
+    corpus payload ever reaches the driver; the fast path broadcasts only
+    the compact shingle-hash table."""
+    return _verify_with_payload(
+        ds, pairs, _shingle_set_fn(shingle_of_batch, id_col),
+        id_col=id_col, payload_cols=payload_cols, val_col="sh",
+        verify_fn=_jaccard_verify_fn(threshold,
+                                     empty.schema.field("a").type),
+        empty=empty, pairs_broadcast_limit=pairs_broadcast_limit)
 
 
 def ngram_jaccard(texts: dict, pairs: list[tuple], k: int = 3) -> list[dict]:
@@ -769,7 +833,9 @@ def _id_type_of(ds: rd.Dataset, id_col: str) -> pa.DataType:
 
 def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.7,
                         num_perm: int = 64, bands: int = 16, k: int = 3,
-                        text_col: str = "text") -> pa.Table:
+                        text_col: str = "text",
+                        pairs_broadcast_limit: int = _PAIRS_BROADCAST_LIMIT
+                        ) -> pa.Table:
     """Near-dup pairs with verified word-shingle Jaccard ≥ threshold.
 
     Fully distributed: LSH candidates stay a Dataset, candidate shingle SETS
@@ -793,7 +859,8 @@ def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.7,
     return _verify_pairs_jaccard(ds, pairs, shingles, threshold=threshold,
                                  id_col="doc_id",
                                  payload_cols=["doc_id", text_col],
-                                 empty=empty)
+                                 empty=empty,
+                                 pairs_broadcast_limit=pairs_broadcast_limit)
 
 
 # ---------------------------------------------------------------------------
@@ -1010,7 +1077,9 @@ class EmbeddingBander:
 def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
                              col: str = "embedding", id_col: str = "vec_id",
                              n_bits: int = 8, target_recall: float = 0.99,
-                             seed: int = 13) -> pa.Table:
+                             seed: int = 13,
+                             pairs_broadcast_limit: int =
+                             _PAIRS_BROADCAST_LIMIT) -> pa.Table:
     """Pairs with cosine ≥ threshold — hyperplane-LSH bucketed scale path.
 
     Plan: band-row map_batches (vectors never shuffle; band rows are 3 thin
@@ -1049,10 +1118,6 @@ def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
             pa.array(Mn.reshape(-1), type=pa.float64()))
         return pa.table({id_col: batch[id_col], "nv": lst})
 
-    payload = _semi_gather(ds, pairs, id_col, [id_col, col]).map_batches(
-        normalize, batch_format="pyarrow")
-    joined = _attach_payloads(pairs, payload, id_col, "nv")
-
     def verify(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
@@ -1067,8 +1132,10 @@ def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
                          "b": batch["b"].filter(keep),
                          "cosine": pa.array(cos[cos >= threshold])})
 
-    verified = joined.map_batches(verify, batch_format="pyarrow")
-    return _collect_pairs_sorted(verified, empty)
+    return _verify_with_payload(
+        ds, pairs, normalize, id_col=id_col, payload_cols=[id_col, col],
+        val_col="nv", verify_fn=verify, empty=empty,
+        pairs_broadcast_limit=pairs_broadcast_limit)
 
 
 # ---------------------------------------------------------------------------
@@ -1211,7 +1278,9 @@ class TokenMinHasher:
 
 def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
                                num_perm: int = 64, bands: int = 16,
-                               k: int = 3) -> pa.Table:
+                               k: int = 3,
+                               pairs_broadcast_limit: int =
+                               _PAIRS_BROADCAST_LIMIT) -> pa.Table:
     """U5 on the flagship payload: near-dup pairs by token-shingle Jaccard.
 
     Same fully-distributed plan as ``minhash_dedup_pairs``: candidates stay a
@@ -1235,4 +1304,5 @@ def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
     return _verify_pairs_jaccard(ds, pairs, shingles, threshold=threshold,
                                  id_col="doc_id",
                                  payload_cols=["doc_id", "tokens"],
-                                 empty=empty)
+                                 empty=empty,
+                                 pairs_broadcast_limit=pairs_broadcast_limit)

@@ -544,3 +544,24 @@ def test_decoder_zero_copy_and_sliced_batches():
     # empty batch
     out = d(t.slice(0, 0).combine_chunks())
     assert out.num_rows == 0 and "features" in out.column_names
+
+
+def test_verify_scale_path_matches_broadcast_path():
+    """pairs_broadcast_limit=0 forces the join-based verify plan; outputs
+    must equal the broadcast fast path exactly on all three families."""
+    t = _docs_with_dups()
+    for fn, kw in ((dedup.minhash_dedup_pairs, dict(threshold=0.5)),):
+        fast = fn(rd.from_arrow(t), **kw).to_pylist()
+        slow = fn(rd.from_arrow(t), pairs_broadcast_limit=0, **kw).to_pylist()
+        assert fast == slow and fast
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((40, 16))
+    M[30] = M[3] + rng.standard_normal(16) * 0.01
+    e = pa.table({"vec_id": pa.array(range(40), type=pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in M],
+                                        type=pa.list_(pa.float32()))})
+    fast = dedup.embedding_near_dup_pairs(rd.from_arrow(e),
+                                          threshold=0.95).to_pylist()
+    slow = dedup.embedding_near_dup_pairs(rd.from_arrow(e), threshold=0.95,
+                                          pairs_broadcast_limit=0).to_pylist()
+    assert fast == slow and fast
