@@ -179,7 +179,8 @@ def scaling() -> dict:
     results = {}
     for ncpu in (2, 8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BPR_BENCH_QUERIES="1" if ncpu == 32 else "0")
+                   BPR_BENCH_QUERIES="1" if ncpu == 32 else "0",
+                   BPR_BENCH_DISK="1" if ncpu == 32 else "0")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
