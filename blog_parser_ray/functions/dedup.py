@@ -212,7 +212,8 @@ def _labels_checksum(labels: rd.Dataset) -> int:
 
 
 def pair_components(pairs: rd.Dataset, *, max_iters: int = 30,
-                    n_parts: int = 64) -> rd.Dataset:
+                    n_parts: int = 64,
+                    join_broadcast_limit: int = 1_000_000) -> rd.Dataset:
     """Connected components of a near-dup PAIR graph, fully distributed →
     (node, label) with label = min node id of the component.
 
@@ -240,30 +241,42 @@ def pair_components(pairs: rd.Dataset, *, max_iters: int = 30,
         return pa.table({"u": pa.concat_arrays([a, bb]),
                          "v": pa.concat_arrays([bb, a])})
 
-    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
-    labels = _distinct_ids_ds(pairs, n_parts).map_batches(
+    # every .repartition() below ALSO scrubs the schema-less 0-row blocks
+    # that map_groups/map_batches pipelines emit (Ray skips the UDF on
+    # empty blocks) — the native join's aggregator raises on such blocks,
+    # and this loop joins on both sides every round. The repartitions move
+    # only PAIR-scale data.
+    join_parts = min(n_parts,
+                     max(2, int(ray.cluster_resources().get("CPU", 8))))
+    edges = (pairs.map_batches(sym, batch_format="pyarrow")
+             .repartition(join_parts).materialize())
+    labels = (_distinct_ids_ds(pairs, n_parts).map_batches(
         lambda b: pa.table({"node": b["_cid"], "label": b["_cid"]}),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow").repartition(join_parts).materialize())
     prev_sig = None
     for _ in range(max_iters):
         lab_v = labels.map_batches(
             lambda b: pa.table({"_vn": b["node"], "_vl": b["label"]}),
             batch_format="pyarrow")
         nbr = equi_join(edges, lab_v, left_on="v", right_on="_vn",
-                        how="inner").map_batches(
+                        how="inner", num_partitions=join_parts,
+                        broadcast_limit=join_broadcast_limit).map_batches(
             lambda b: pa.table({"node": b["u"], "label": b["_vl"]}),
             batch_format="pyarrow")
+        # materialized: BOTH the jump join's left side and lab_n read it
         new = (labels.union(nbr).groupby("node")
-               .aggregate(MinAgg("label", alias_name="label")))
+               .aggregate(MinAgg("label", alias_name="label"))
+               .repartition(join_parts).materialize())
         # pointer jump (path halving): label ← label(label); every label IS
         # a node, so the inner join is total
         lab_n = new.map_batches(
             lambda b: pa.table({"_pn": b["node"], "_pl": b["label"]}),
             batch_format="pyarrow")
         new = equi_join(new, lab_n, left_on="label", right_on="_pn",
-                        how="inner").map_batches(
+                        how="inner", num_partitions=join_parts,
+                        broadcast_limit=join_broadcast_limit).map_batches(
             lambda b: pa.table({"node": b["node"], "label": b["_pl"]}),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow").repartition(join_parts).materialize()
         sig = _labels_checksum(new)
         labels = new
         if sig == prev_sig:

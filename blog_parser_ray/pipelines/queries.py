@@ -1459,6 +1459,26 @@ def orders_cumspend(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("dedup_components")  # rows-only: connected components, no SQL equivalent
+def dedup_components(sf_dir: str):
+    """Distributed union-find surfaced directly: MinHash near-dup pairs →
+    hash-partitioned min-label propagation (functions/dedup.py
+    pair_components) → (node, label=component min). Forces the distributed
+    path regardless of pair count so the driver gate exercises it."""
+    import ray.data as rd
+
+    from ..functions.dedup import minhash_dedup_pairs, pair_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs_tbl = minhash_dedup_pairs(ds, threshold=0.5)
+    if pairs_tbl.num_rows == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "label": pa.array([], pa.string())})
+    comp = pair_components(rd.from_arrow(pairs_tbl.select(["a", "b"])))
+    from ..functions.util import collect_table
+    return collect_table(comp).sort_by([("node", "ascending")])
+
+
 # ===========================================================================
 # Driver-coverage rotation
 # ===========================================================================
@@ -1489,7 +1509,7 @@ _DRIVER_PRIORITY = [
     "intersect_keys", "except_keys", "tumbling_daily", "token_count",
     "quality_score", "knn_multi", "knn_cosine", "knn_lsh", "knn_ivf",
     "approx_users", "rollup_counts", "qty_quantiles", "sliding_3h",
-    "pivot_events",
+    "dedup_components",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 assert len(set(_DRIVER_PRIORITY)) == 50

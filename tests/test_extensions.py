@@ -565,3 +565,19 @@ def test_verify_scale_path_matches_broadcast_path():
     slow = dedup.embedding_near_dup_pairs(rd.from_arrow(e), threshold=0.95,
                                           pairs_broadcast_limit=0).to_pylist()
     assert fast == slow and fast
+
+
+def test_pair_components_native_join_path():
+    """join_broadcast_limit=0 forces the native partitioned joins through
+    the label-propagation loop (exercising the schema-less-empty-block
+    hardening); result must equal the broadcast-join run."""
+    t = pa.table({"a": pa.array(["x1", "x2", "x5", "x8"]),
+                  "b": pa.array(["x2", "x3", "x6", "x9"])})
+    ds = rd.from_arrow(t).repartition(3)
+    fast = {r["node"]: r["label"]
+            for r in dedup.pair_components(ds).take_all()}
+    slow = {r["node"]: r["label"]
+            for r in dedup.pair_components(
+                ds, join_broadcast_limit=0).take_all()}
+    assert fast == slow
+    assert fast["x3"] == "x1" and fast["x9"] == "x8"
