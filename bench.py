@@ -116,10 +116,11 @@ def run_once(num_cpus: int, sf_dir: str) -> dict:
     # disk-sink accounting: the same pipeline with sinks on real disk
     # (/tmp, virtio-backed) instead of tmpfs — reported alongside so a
     # driver/recorded wall gap can be attributed to sink-write IO rather
-    # than guessed at. One warm-up + two timed runs, median.
+    # than guessed at. One warm-up + three timed runs, median (an even
+    # sample count would report the max, not a median).
     disk_walls: list[float] = []
     if os.environ.get("BPR_BENCH_DISK", "1") != "0":
-        for attempt in range(3):
+        for attempt in range(4):
             out = f"/tmp/bpr_bench_diskout_{num_cpus}_{attempt}"
             shutil.rmtree(out, ignore_errors=True)
             t0 = time.monotonic()

@@ -205,10 +205,17 @@ def _labels_checksum(labels: rd.Dataset) -> int:
         with np.errstate(over="ignore"):
             h = stable_hash_ints(_col_hash(b["node"])
                                  ^ stable_hash_ints(_col_hash(b["label"])))
-        s = int(h.sum(dtype=np.uint64) % np.uint64(1 << 40))
+        # per-block partial = wrapped uint64 sum, viewed signed. Wrapping is
+        # mod-2^64 arithmetic, so after the final mod below the total is
+        # BLOCK-LAYOUT-INVARIANT — a per-block `% 2^40` of the block sum
+        # would not be (sum_j(B_j mod m) depends on how rows fall into
+        # blocks), and a layout-sensitive checksum would spuriously fail
+        # the convergence test when repartitioning shifts rows.
+        s = int(h.sum(dtype=np.uint64).astype(np.uint64).view(np.int64))
         return pa.table({"s": pa.array([s], type=pa.int64())})
 
-    return int(labels.map_batches(part, batch_format="pyarrow").sum("s"))
+    total = int(labels.map_batches(part, batch_format="pyarrow").sum("s"))
+    return total % (1 << 64)
 
 
 def pair_components(pairs: rd.Dataset, *, max_iters: int = 30,
@@ -527,7 +534,10 @@ def _lsh_candidate_pairs(sig: rd.Dataset, max_bucket: int = 2048,
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
-            return pd.DataFrame({"a": [], "b": []})
+            # typed empty: an untyped pd.DataFrame({"a": []}) materializes
+            # as float64 blocks among int64/string pair blocks
+            d = g["doc_id"]
+            return pd.DataFrame({"a": d, "b": d})
         g = g.sort_values(["key", "doc_id"], kind="mergesort")
         k = g["key"].to_numpy()
         d = g["doc_id"].to_numpy()
@@ -612,8 +622,11 @@ def _semi_gather(ds: rd.Dataset, pairs: rd.Dataset, id_col: str,
         return ds.map_batches(keep, batch_format="pyarrow")
     from .join import equi_join
     sub = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
-    joined = equi_join(sub, ids_ds, left_on=id_col, right_on="_cid",
-                       how="inner", broadcast_limit=0)
+    # scrub the map_groups-produced ids of schema-less empty blocks before
+    # they reach the native join's aggregator (see _drop_keys note)
+    n_join = min(64, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    joined = equi_join(sub, ids_ds.repartition(n_join), left_on=id_col,
+                       right_on="_cid", how="inner", broadcast_limit=0)
     return joined.map_batches(lambda b: b.select(cols),
                               batch_format="pyarrow")
 
@@ -673,6 +686,11 @@ def _verify_with_payload(ds: rd.Dataset, pairs: rd.Dataset, payload_fn,
 
     payload = _semi_gather(ds, pairs, id_col, payload_cols).map_batches(
         payload_fn, batch_format="pyarrow")
+    # the pair Dataset comes from a map_groups pipeline: scrub its
+    # schema-less empty blocks before it becomes the LEFT side of a
+    # potentially-native join (only paid on this scale path)
+    n_join = min(64, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    pairs = pairs.repartition(n_join).materialize()
     joined = _attach_payloads(pairs, payload, id_col, val_col)
     return _collect_pairs_sorted(
         joined.map_batches(verify_fn, batch_format="pyarrow"), empty)
@@ -1139,11 +1157,14 @@ def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
         lb, vb = _list_segments(batch["nv_b"])
         dim = int(la[0])
         cos = np.einsum("ij,ij->i", va.reshape(n, dim), vb.reshape(n, dim))
-        cos = np.round(cos, 4)
-        keep = pa.array(cos >= threshold)
+        # threshold on the UNROUNDED cosine (the verify is exact; rounding
+        # first would admit pairs just below threshold), round only the
+        # reported value
+        mask = cos >= threshold
+        keep = pa.array(mask)
         return pa.table({"a": batch["a"].filter(keep),
                          "b": batch["b"].filter(keep),
-                         "cosine": pa.array(cos[cos >= threshold])})
+                         "cosine": pa.array(np.round(cos[mask], 4))})
 
     return _verify_with_payload(
         ds, pairs, normalize, id_col=id_col, payload_cols=[id_col, col],

@@ -69,9 +69,12 @@ class Decoder:
     def __init__(self, fake: bool = False) -> None:
         self.fake = fake
 
-    def _decode_one(self, payload: np.ndarray, media_type: str) -> np.ndarray:
+    def _decode_one(self, payload: np.ndarray | None,
+                    media_type: str) -> np.ndarray:
         """``payload`` is a zero-copy uint8 VIEW into the Arrow data buffer
-        (a real decoder hands it to the codec as a memoryview)."""
+        (a real decoder hands it to the codec as a memoryview), or None for
+        a null payload slot — the fake path then fails the row
+        (decode_ok=False), the real path raises its stub error first."""
         if not self.fake:
             raise NotImplementedError(
                 "real decode requires an image/audio library not present in "
@@ -90,28 +93,35 @@ class Decoder:
         # slice uint8 views out of the Arrow data buffer directly instead of
         # to_pylist() (which would copy every payload into Python bytes)
         n = len(pay)
-        if n == 0 or pay.buffers()[1] is None:
-            # 0-row (or all-empty-payload) arrays can carry None buffers;
-            # empty payloads fake-decode to all-zero features, matching
-            # _decode_one on a zero-length view
+        if n == 0:
             out = batch.append_column(
-                "features", pa.array([[0.0] * FEATURE_DIM] * n,
-                                     type=pa.list_(pa.float64())))
+                "features", pa.array([], type=pa.list_(pa.float64())))
             return out.append_column("decode_ok",
-                                     pa.array([True] * n, type=pa.bool_()))
+                                     pa.array([], type=pa.bool_()))
+        # buffers can be None for 0-length / all-null arrays
         off_dtype = (np.int64 if pa.types.is_large_binary(pay.type)
                      else np.int32)
         off0 = pay.offset
-        offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype,
-                                count=n + 1 + off0)[off0:].astype(np.int64)
+        if pay.buffers()[1] is not None:
+            offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype,
+                                    count=n + 1 + off0)[off0:].astype(np.int64)
+        else:
+            offsets = np.zeros(n + 1, dtype=np.int64)
         data = (np.frombuffer(pay.buffers()[2], dtype=np.uint8,
                               count=int(offsets[-1]))
                 if pay.buffers()[2] is not None
                 else np.empty(0, dtype=np.uint8))
+        # null payloads must keep the pre-zero-copy semantics: decode is
+        # ATTEMPTED (so Decoder(fake=False) still raises its documented
+        # NotImplementedError) and the fake path records decode_ok=False —
+        # never a fabricated decode of whatever bytes the null slot spans
+        valid = (pay.is_valid().to_numpy(zero_copy_only=False)
+                 if pay.null_count else np.ones(n, dtype=bool))
         feats, ok = [], []
         for i, mt in enumerate(batch["media_type"].to_pylist()):
             try:
-                view = data[offsets[i]:offsets[i + 1]]
+                view = (data[offsets[i]:offsets[i + 1]]
+                        if valid[i] else None)
                 feats.append(self._decode_one(view, mt).tolist())
                 ok.append(True)
             except NotImplementedError:

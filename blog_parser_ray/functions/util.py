@@ -16,7 +16,14 @@ def collect_table(ds: rd.Dataset) -> pa.Table:
     the schema comes from the Dataset. Only for results known to be small
     (winner sets, pair lists, verified outputs) — never the corpus.
     """
-    tbls = [ray.get(r) for r in ds.to_arrow_refs()]
+    tbls = []
+    for r in ds.to_arrow_refs():
+        t = ray.get(r)
+        if not isinstance(t, pa.Table):
+            # to_arrow_refs can surface raw pandas blocks (observed after
+            # repartition of a map_groups(batch_format="pandas") pipeline)
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        tbls.append(t)
     good = [t for t in tbls if t.num_columns > 0]
     if not good:
         s = ds.schema(fetch_if_missing=True)

@@ -1469,11 +1469,14 @@ def dedup_components(sf_dir: str):
 
     from ..functions.dedup import minhash_dedup_pairs, pair_components
 
+    from ..functions.dedup import _id_type_of
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs_tbl = minhash_dedup_pairs(ds, threshold=0.5)
     if pairs_tbl.num_rows == 0:
-        return pa.table({"node": pa.array([], pa.string()),
-                         "label": pa.array([], pa.string())})
+        id_type = _id_type_of(ds, "doc_id")
+        return pa.table({"node": pa.array([], id_type),
+                         "label": pa.array([], id_type)})
     comp = pair_components(rd.from_arrow(pairs_tbl.select(["a", "b"])))
     from ..functions.util import collect_table
     return collect_table(comp).sort_by([("node", "ascending")])

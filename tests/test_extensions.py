@@ -581,3 +581,36 @@ def test_pair_components_native_join_path():
                 ds, join_broadcast_limit=0).take_all()}
     assert fast == slow
     assert fast["x3"] == "x1" and fast["x9"] == "x8"
+
+
+def test_decoder_null_payload_semantics():
+    """Null payload rows: fake path records decode_ok=False with zero
+    features; the real-decode stub still raises NotImplementedError."""
+    t = multimodal.synth_media_table(4, seed=2)
+    pay = t["payload"].combine_chunks()
+    nulled = pa.BinaryArray.from_pandas(
+        [None if i == 1 else pay[i].as_py() for i in range(4)])
+    t2 = t.set_column(t.schema.get_field_index("payload"), "payload", nulled)
+    out = multimodal.Decoder(fake=True)(t2)
+    assert out["decode_ok"].to_pylist() == [True, False, True, True]
+    assert out["features"][1].as_py() == [0.0] * multimodal.FEATURE_DIM
+    import pytest
+    with pytest.raises(NotImplementedError):
+        multimodal.Decoder(fake=False)(t2)
+
+
+def test_embedding_cosine_threshold_unrounded():
+    """A pair whose true cosine is just below threshold must NOT be admitted
+    by output rounding (verify thresholds the exact value)."""
+    base = np.zeros(16)
+    base[0] = 1.0
+    other = np.zeros(16)
+    # angle chosen so cosine ≈ 0.89996 < 0.9 but rounds to 0.9000
+    theta = np.arccos(0.89996)
+    other[0], other[1] = np.cos(theta), np.sin(theta)
+    t = pa.table({"vec_id": pa.array([0, 1], type=pa.int64()),
+                  "embedding": pa.array([base.tolist(), other.tolist()],
+                                        type=pa.list_(pa.float64()))})
+    pairs = dedup.embedding_near_dup_pairs(rd.from_arrow(t), threshold=0.9,
+                                           target_recall=0.999999)
+    assert (0, 1) not in {(r["a"], r["b"]) for r in pairs.to_pylist()}
