@@ -33,7 +33,8 @@ QUERY_NAMES = [
     "per_sink_counts", "lineitem_by_flag", "orders_customers",
     "tumbling_daily", "dedup_docs", "sorted_counts", "json_funcs",
     "knn_cosine", "dedup_minhash", "word_counts", "session_counts",
-    "qty_quantiles", "asof_orders",
+    "qty_quantiles", "asof_orders", "orders_rank", "events_lag_delta",
+    "orders_cumspend",
 ]
 
 

@@ -122,3 +122,44 @@ def stratified_split(ds: rd.Dataset, key_col: str = "doc_id",
         return batch.append_column("split", pa.array(split, type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mixture_sample(ds: rd.Dataset, weights: dict[str, float],
+                   source_col: str = "source", key_col: str = "doc_id",
+                   salt: str = "mix-v1") -> rd.Dataset:
+    """Deterministic weighted mixture sampling — downsample each source to
+    its target rate (the training-mixture op: given per-source keep rates in
+    [0, 1], e.g. derived from target mixture proportions, keep each row with
+    exactly that per-source probability).
+
+    Assignment is a salted stable hash of ``key_col`` compared against the
+    source's rate — the same row keeps/drops on every run, cluster size, or
+    input order (re-roll by changing the salt), and the op stays a pure
+    map: no shuffle, no state, no driver collection. Sources absent from
+    ``weights`` keep rate 1.0.
+    """
+    import pyarrow.compute as pc
+
+    for s, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"mixture weight for {s!r} must be in [0,1], "
+                             f"got {w}")
+    src_arr = pa.array(list(weights), type=pa.string())
+    cut_arr = np.array([int(w * 1_000_000) for w in weights.values()],
+                       dtype=np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keyed = pc.binary_join_element_wise(
+            pa.array([salt] * len(col), type=pa.string()),
+            pc.cast(col, pa.string()), ":")
+        h = (stable_hash_strings(keyed) % np.uint64(1_000_000)).astype(np.int64)
+        idx = pc.index_in(batch[source_col], value_set=src_arr)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        cuts = np.where(np.isnan(idx_np.astype(np.float64)), 1_000_000,
+                        cut_arr[np.nan_to_num(idx_np).astype(np.int64)])
+        return batch.filter(pa.array(h < cuts))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

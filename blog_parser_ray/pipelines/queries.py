@@ -1482,6 +1482,30 @@ def dedup_components(sf_dir: str):
     return collect_table(comp).sort_by([("node", "ascending")])
 
 
+@q("mixture_sample")  # rows-only: SipHash-based keep decision not SQL-reproducible
+def mixture_sample_q(sf_dir: str):
+    """Training-mixture downsampling: per-source deterministic keep rates
+    (functions/packing.py mixture_sample). Pure map — no shuffle, no state;
+    same rows survive on any cluster size or input order."""
+    from ..functions.packing import mixture_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    srcs = sorted({r["source"] for r in
+                   _read(sf_dir, "documents", ["source"]).take_all()})
+    weights = {s: (0.25 if i % 2 == 0 else 0.75)
+               for i, s in enumerate(srcs[:6])}
+    return mixture_sample(ds, weights)
+
+
+@q("shuffle_corpus")  # rows-only: seeded permutation, no SQL equivalent
+def shuffle_corpus(sf_dir: str):
+    """Seeded global shuffle (training-data ordering): Ray's distributed
+    random_shuffle with a fixed seed — deterministic permutation, tested in
+    pytest; the all-to-all is the op's cost by definition."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return ds.random_shuffle(seed=1234)
+
+
 # ===========================================================================
 # Driver-coverage rotation
 # ===========================================================================
@@ -1510,8 +1534,8 @@ _DRIVER_PRIORITY = [
     "parse_grok", "per_sink_counts", "ntok_hist", "enrich_docs",
     "explode_sections", "lineitem_by_flag", "sorted_counts",
     "intersect_keys", "except_keys", "tumbling_daily", "token_count",
-    "quality_score", "knn_multi", "knn_cosine", "knn_lsh", "knn_ivf",
-    "approx_users", "rollup_counts", "qty_quantiles", "sliding_3h",
+    "quality_score", "knn_multi", "knn_cosine", "knn_lsh", "shuffle_corpus",
+    "approx_users", "rollup_counts", "qty_quantiles", "mixture_sample",
     "dedup_components",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -614,3 +614,45 @@ def test_embedding_cosine_threshold_unrounded():
     pairs = dedup.embedding_near_dup_pairs(rd.from_arrow(t), threshold=0.9,
                                            target_recall=0.999999)
     assert (0, 1) not in {(r["a"], r["b"]) for r in pairs.to_pylist()}
+
+
+def test_mixture_sample_rates_and_determinism():
+    """Per-source keep rates hit their targets (±3.5% absolute ≈ 3σ for the
+    per-source row counts at 20k rows), assignment is deterministic,
+    partitioning-invariant, and unlisted sources keep rate 1.0."""
+    from blog_parser_ray import synth
+    from blog_parser_ray.functions.packing import mixture_sample
+
+    t = synth.synth_table(np.arange(20000), seed=11)
+    weights = {"src1": 0.25, "src2": 0.75, "src3": 0.0}
+    a = mixture_sample(rd.from_arrow(t), weights).to_pandas()
+    b = mixture_sample(rd.from_arrow(t).repartition(8), weights).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    df = t.to_pandas()
+    for s, w in weights.items():
+        n_all = (df["source"] == s).sum()
+        n_kept = (a["source"] == s).sum()
+        assert abs(n_kept / max(n_all, 1) - w) < 0.035, (s, n_kept, n_all)
+    other = [s for s in df["source"].unique() if s not in weights]
+    kept_other = a[a["source"].isin(other)]
+    assert len(kept_other) == df["source"].isin(other).sum()
+    # re-roll with a different salt changes the sampled set
+    c = mixture_sample(rd.from_arrow(t), weights, salt="mix-v2").to_pandas()
+    assert sorted(a["doc_id"]) != sorted(c["doc_id"])
+    import pytest
+    with pytest.raises(ValueError, match="weight"):
+        mixture_sample(rd.from_arrow(t), {"src1": 1.5})
+
+
+def test_shuffle_corpus_seeded_deterministic():
+    from blog_parser_ray import synth
+
+    t = synth.synth_table(np.arange(3000), seed=4)
+    a = [r["doc_id"] for r in
+         rd.from_arrow(t).random_shuffle(seed=77).take_all()]
+    b = [r["doc_id"] for r in
+         rd.from_arrow(t).random_shuffle(seed=77).take_all()]
+    assert a == b and sorted(a) == sorted(t["doc_id"].to_pylist())
+    c = [r["doc_id"] for r in
+         rd.from_arrow(t).random_shuffle(seed=78).take_all()]
+    assert a != c
