@@ -135,3 +135,70 @@ def test_token_hash_seeds_are_independent(rows):
         assert hash_token_lists(chunked).tolist() == h1.tolist()
         assert hash_token_lists(chunked, seed=0x5DEECE66D).tolist() == \
             h2.tolist()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=25),
+    st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=25)),
+    min_size=1, max_size=30), st.floats(min_value=0.0, max_value=1.0))
+def test_jaccard_verify_kernel_matches_set_reference(pairs, threshold):
+    """The lexsort+adjacent-dup Jaccard kernel == python set arithmetic on
+    arbitrary (possibly empty / identical / disjoint) hash sets."""
+    import pyarrow as pa
+
+    from blog_parser_ray.functions.dedup import _jaccard_verify_fn
+
+    sa = [sorted(set(p[0])) for p in pairs]
+    sb = [sorted(set(p[1])) for p in pairs]
+    batch = pa.table({
+        "a": pa.array(range(len(pairs)), type=pa.int64()),
+        "b": pa.array(range(100, 100 + len(pairs)), type=pa.int64()),
+        "sh_a": pa.array(sa, type=pa.list_(pa.int64())),
+        "sh_b": pa.array(sb, type=pa.list_(pa.int64())),
+    })
+    out = _jaccard_verify_fn(threshold, pa.int64())(batch)
+    got = {r["a"]: r["jaccard"] for r in out.to_pylist()}
+    for i, (xa, xb) in enumerate(zip(sa, sb)):
+        u = len(set(xa) | set(xb))
+        j = round((len(set(xa) & set(xb)) / u) if u else 1.0, 4)
+        if j >= threshold:
+            assert got[i] == j
+        else:
+            assert i not in got
+
+
+@settings(max_examples=5, deadline=None)  # each example is a multi-round
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=60),  # Ray job
+                          st.integers(min_value=0, max_value=60)),
+                min_size=1, max_size=40))
+def test_pair_components_property_matches_union_find(edges):
+    """Distributed components == driver union-find on arbitrary int graphs
+    (self-loops dropped, duplicates tolerated)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blog_parser_ray.functions.dedup import pair_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    want = {x: find(x) for x in {n for e in edges for n in e}}
+    t = pa.table({"a": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "b": pa.array([e[1] for e in edges], type=pa.int64())})
+    got = {r["node"]: r["label"]
+           for r in pair_components(rd.from_arrow(t)).take_all()}
+    assert got == want
