@@ -202,3 +202,17 @@ def test_pair_components_property_matches_union_find(edges):
     got = {r["node"]: r["label"]
            for r in pair_components(rd.from_arrow(t)).take_all()}
     assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=200))
+def test_mersenne_fold_equals_modulo(xs):
+    """The in-place Mersenne fold in _band_rows must be bit-identical to
+    numpy's % (2^61-1) over the full u64 range (signatures depend on it)."""
+    p = np.uint64((1 << 61) - 1)
+    x = np.array(xs, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        t = (x & p) + (x >> np.uint64(61))
+        fold = np.where(t >= p, t - p, t)
+    assert np.array_equal(x % p, fold)
