@@ -922,13 +922,21 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     words = pc.split_pattern(batch[text_col], " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
-    offsets = words.offsets.to_numpy()
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    lo = offsets[0]  # sliced arrays: offsets are absolute into the parent
     wh = stable_hash_strings(words.flatten())
     bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int64) * 2 - 1  # (n_words, 64) in {-1,1}
-    cs = np.concatenate([np.zeros((1, 64), np.int64),
-                         np.cumsum(bits, axis=0, dtype=np.int64)])
-    seg = cs[offsets[1:]] - cs[offsets[:-1]]          # (n_rows, 64) votes
+    # per-row vote sums via reduceat over NONEMPTY segments — the previous
+    # global cumsum materialized two extra (n_words × 64) temporaries (the
+    # O(values)-temporary pattern this host measurably punishes); reduceat
+    # reads `bits` once. Empty rows (reduceat can't express them) stay 0.
+    lengths = offsets[1:] - offsets[:-1]
+    nonempty = lengths > 0
+    seg = np.zeros((len(lengths), 64), dtype=np.int64)
+    if bits.shape[0]:
+        seg[nonempty] = np.add.reduceat(
+            bits, (offsets[:-1] - lo)[nonempty], axis=0)
     sh = ((seg > 0).astype(np.uint64)
           << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
     return pa.table({

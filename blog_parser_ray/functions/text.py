@@ -185,8 +185,17 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     if mixed.size:
         red = np.bitwise_xor.reduceat(mixed, starts[nonempty].astype(np.int64))
         fp[nonempty] = red
+    # hex rendering without per-row Python: hexlify the big-endian byte view
+    # once, then build the StringArray straight from (uniform 16-char
+    # offsets, hex buffer) — identical output to format(x, "016x")
+    import binascii
+
+    n = batch.num_rows
+    hex_data = binascii.hexlify(fp.astype(">u8").tobytes())
+    off = (np.arange(n + 1, dtype=np.int32) * 16).tobytes()
+    hex_arr = pa.Array.from_buffers(
+        pa.utf8(), n, [None, pa.py_buffer(off), pa.py_buffer(hex_data)])
     return pa.table({
         "doc_id": batch["doc_id"],
-        "fingerprint": pa.array([format(x, "016x") for x in fp],
-                                type=pa.string()),
+        "fingerprint": hex_arr,
     })
