@@ -97,6 +97,20 @@ def pack_sequences(ds: rd.Dataset, max_len: int = 2048,
                           zero_copy_batch=True)
 
 
+def _salted_mod_hash(col, salt: str, mod: int) -> np.ndarray:
+    """int64 ``stable_hash(salt + ":" + key) % mod`` of a column — the shared
+    keying scheme of stratified_split and mixture_sample (one place so the
+    two assignments can never silently diverge). The salt broadcasts as a
+    scalar — no per-row Python."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    keyed = pc.binary_join_element_wise(
+        pa.scalar(salt, type=pa.string()), pc.cast(col, pa.string()), ":")
+    return (stable_hash_strings(keyed) % np.uint64(mod)).astype(np.int64)
+
+
 def stratified_split(ds: rd.Dataset, key_col: str = "doc_id",
                      val_frac: float = 0.05, test_frac: float = 0.05,
                      salt: str = "split-v1") -> rd.Dataset:
@@ -107,16 +121,7 @@ def stratified_split(ds: rd.Dataset, key_col: str = "doc_id",
     test_cut = val_cut + int(test_frac * 10_000)
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        col = batch[key_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        # salt prepended with a vectorized binary join — no per-row Python
-        keyed = pc.binary_join_element_wise(
-            pa.array([salt] * len(col), type=pa.string()),
-            pc.cast(col, pa.string()), ":")
-        h = (stable_hash_strings(keyed) % np.uint64(10_000)).astype(np.int64)
+        h = _salted_mod_hash(batch[key_col], salt, 10_000)
         split = np.select([h < val_cut, h < test_cut], ["val", "test"],
                           default="train")
         return batch.append_column("split", pa.array(split, type=pa.string()))
@@ -144,22 +149,19 @@ def mixture_sample(ds: rd.Dataset, weights: dict[str, float],
         if not 0.0 <= w <= 1.0:
             raise ValueError(f"mixture weight for {s!r} must be in [0,1], "
                              f"got {w}")
+    if not weights:
+        return ds  # every source keeps rate 1.0
     src_arr = pa.array(list(weights), type=pa.string())
-    cut_arr = np.array([int(w * 1_000_000) for w in weights.values()],
-                       dtype=np.int64)
+    # unlisted sources (null index_in) map to a keep-everything cutoff
+    cut_arr = np.array([int(w * 1_000_000) for w in weights.values()]
+                       + [1_000_000], dtype=np.int64)
 
     def fn(batch: pa.Table) -> pa.Table:
-        col = batch[key_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        keyed = pc.binary_join_element_wise(
-            pa.array([salt] * len(col), type=pa.string()),
-            pc.cast(col, pa.string()), ":")
-        h = (stable_hash_strings(keyed) % np.uint64(1_000_000)).astype(np.int64)
-        idx = pc.index_in(batch[source_col], value_set=src_arr)
-        idx_np = idx.to_numpy(zero_copy_only=False)
-        cuts = np.where(np.isnan(idx_np.astype(np.float64)), 1_000_000,
-                        cut_arr[np.nan_to_num(idx_np).astype(np.int64)])
+        h = _salted_mod_hash(batch[key_col], salt, 1_000_000)
+        idx = pc.fill_null(
+            pc.index_in(batch[source_col], value_set=src_arr),
+            len(weights))
+        cuts = cut_arr[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
         return batch.filter(pa.array(h < cuts))
 
     return ds.map_batches(fn, batch_format="pyarrow")

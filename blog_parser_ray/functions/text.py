@@ -168,22 +168,25 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fp = XOR_i mix(word_hash_i + golden*i)  — vectorized over the flattened
     word buffer; deterministic across processes (stable hash)."""
     words = _split_words(batch[text_col])
-    offsets = words.offsets.to_numpy()
+    # rebase: a sliced ListArray's offsets are ABSOLUTE into the parent
+    # values buffer while flatten() returns only the slice's values
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    lo = offsets[0]
+    rel = offsets - lo
     flat = words.flatten()
     wh = stable_hash_strings(flat)
     pos = (np.arange(len(wh), dtype=np.uint64)
-           - np.repeat(offsets[:-1].astype(np.uint64),
-                       (offsets[1:] - offsets[:-1])))
+           - np.repeat(rel[:-1].astype(np.uint64),
+                       (rel[1:] - rel[:-1])))
     with np.errstate(over="ignore"):
         mixed = (wh + pos * np.uint64(0x9E3779B97F4A7C15))
         mixed = (mixed ^ (mixed >> np.uint64(29))) * np.uint64(0xBF58476D1CE4E5B9)
     # segmented XOR via reduce on cumulative trick: xor has no cumsum; use
     # np.bitwise_xor.reduceat guarded for empty rows
-    starts = offsets[:-1]
-    nonempty = offsets[1:] > offsets[:-1]
+    nonempty = rel[1:] > rel[:-1]
     fp = np.zeros(batch.num_rows, dtype=np.uint64)
     if mixed.size:
-        red = np.bitwise_xor.reduceat(mixed, starts[nonempty].astype(np.int64))
+        red = np.bitwise_xor.reduceat(mixed, rel[:-1][nonempty])
         fp[nonempty] = red
     # hex rendering without per-row Python: hexlify the big-endian byte view
     # once, then build the StringArray straight from (uniform 16-char
@@ -191,6 +194,7 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     import binascii
 
     n = batch.num_rows
+    assert n * 16 < 2 ** 31, "int32 string offsets overflow; split the batch"
     hex_data = binascii.hexlify(fp.astype(">u8").tobytes())
     off = (np.arange(n + 1, dtype=np.int32) * 16).tobytes()
     hex_arr = pa.Array.from_buffers(

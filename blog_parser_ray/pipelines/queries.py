@@ -1490,8 +1490,10 @@ def mixture_sample_q(sf_dir: str):
     from ..functions.packing import mixture_sample
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    srcs = sorted({r["source"] for r in
-                   _read(sf_dir, "documents", ["source"]).take_all()})
+    # distinct sources computed distributed (pruned single-column read +
+    # per-block unique under unique()); only the small distinct list
+    # reaches the driver
+    srcs = sorted(_read(sf_dir, "documents", ["source"]).unique("source"))
     weights = {s: (0.25 if i % 2 == 0 else 0.75)
                for i, s in enumerate(srcs[:6])}
     return mixture_sample(ds, weights)
