@@ -237,14 +237,23 @@ def _components_broadcast_labels(edges: rd.Dataset, labels: rd.Dataset,
     nodes_ref = ray.put(nodes)
     lab = np.arange(n, dtype=np.int64)
 
-    def partials(batch: pa.Table, lab_ref) -> pa.Table:
+    # the edge → node-index mapping is round-INVARIANT: resolve every
+    # endpoint against the sorted node array ONCE, so each round is a pure
+    # int gather instead of re-hashing all endpoints per round
+    def to_idx(batch: pa.Table) -> pa.Table:
         node_arr = ray.get(nodes_ref)
+        iu = pc.index_in(batch["u"], value_set=node_arr)
+        iv = pc.index_in(batch["v"], value_set=node_arr)
+        return pa.table({"iu": pc.cast(iu, pa.int64()),
+                         "iv": pc.cast(iv, pa.int64())})
+
+    idx_edges = edges.map_batches(to_idx, batch_format="pyarrow"
+                                  ).materialize()
+
+    def partials(batch: pa.Table, lab_ref) -> pa.Table:
         cur = ray.get(lab_ref)
-        iu = pc.index_in(batch["u"], value_set=node_arr).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        iv = pc.index_in(batch["v"], value_set=node_arr).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        lv = cur[iv]
+        iu = batch["iu"].to_numpy()
+        lv = cur[batch["iv"].to_numpy()]
         # per-block min neighbor-label per node (combiner)
         order = np.lexsort((lv, iu))
         su, sl = iu[order], lv[order]
@@ -255,12 +264,15 @@ def _components_broadcast_labels(edges: rd.Dataset, labels: rd.Dataset,
 
     for _ in range(max_iters):
         lab_ref = ray.put(lab)
-        merged = collect_table(edges.map_batches(
-            partials, fn_args=(lab_ref,), batch_format="pyarrow"))
         new = lab.copy()
-        if merged.num_rows:
-            np.minimum.at(new, merged["ni"].to_numpy(),
-                          merged["ml"].to_numpy())
+        # STREAM the per-block partials — merging incrementally keeps the
+        # driver's peak at one block, not join_parts × n_labels rows
+        for b in idx_edges.map_batches(
+                partials, fn_args=(lab_ref,),
+                batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            if b.num_rows:
+                np.minimum.at(new, b["ni"].to_numpy(), b["ml"].to_numpy())
         # full local path compression (labels are all local — free)
         while True:
             nxt = new[new]
@@ -330,14 +342,14 @@ def pair_components(pairs: rd.Dataset, *, max_iters: int = 30,
         # the Dataset loop at 1M edges; the loop below remains the plan
         # for label tables beyond the broadcast limit.
         return _components_broadcast_labels(edges, labels, max_iters)
-    small = False
 
     def partial_min(b: pa.Table) -> pa.Table:
         # combiner: per-block min label per node BEFORE the groupby —
         # shuffle volume shrinks from |edges| rows to distinct-nodes-per-
-        # block rows (the A7 partial-first pattern)
+        # block rows (the A7 partial-first pattern). Name-based selection:
+        # pyarrow's aggregate column ORDER differs across releases.
         g = b.group_by(["node"]).aggregate([("label", "min")])
-        return g.rename_columns(["node", "label"])
+        return pa.table({"node": g["node"], "label": g["label_min"]})
 
     prev_sig = None
     for _ in range(max_iters):
@@ -351,11 +363,11 @@ def pair_components(pairs: rd.Dataset, *, max_iters: int = 30,
                                             "label": b["_vl"]})),
             batch_format="pyarrow")
         # materialized: BOTH the jump join's left side and lab_n read it
+        # repartition scrubs the schema-less 0-row blocks before the
+        # next round's (potentially native) joins
         new = (labels.union(nbr).groupby("node")
-               .aggregate(MinAgg("label", alias_name="label")))
-        if not small:
-            new = new.repartition(join_parts)
-        new = new.materialize()
+               .aggregate(MinAgg("label", alias_name="label"))
+               .repartition(join_parts).materialize())
         # pointer jump (path halving): label ← label(label); every label IS
         # a node, so the inner join is total
         lab_n = new.map_batches(
@@ -365,10 +377,7 @@ def pair_components(pairs: rd.Dataset, *, max_iters: int = 30,
                         how="inner", num_partitions=join_parts,
                         broadcast_limit=join_broadcast_limit).map_batches(
             lambda b: pa.table({"node": b["node"], "label": b["_pl"]}),
-            batch_format="pyarrow")
-        if not small:
-            new = new.repartition(join_parts)
-        new = new.materialize()
+            batch_format="pyarrow").repartition(join_parts).materialize()
         sig = _labels_checksum(new)
         labels = new
         if sig == prev_sig:

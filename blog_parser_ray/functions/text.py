@@ -194,7 +194,10 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     import binascii
 
     n = batch.num_rows
-    assert n * 16 < 2 ** 31, "int32 string offsets overflow; split the batch"
+    if n * 16 >= 2 ** 31:  # int32 offsets would wrap (assert would be
+        raise ValueError(   # stripped under python -O)
+            f"fingerprint batch of {n} rows overflows int32 string "
+            "offsets; reduce batch_size")
     hex_data = binascii.hexlify(fp.astype(">u8").tobytes())
     off = (np.arange(n + 1, dtype=np.int32) * 16).tobytes()
     hex_arr = pa.Array.from_buffers(

@@ -216,3 +216,41 @@ def test_mersenne_fold_equals_modulo(xs):
         t = (x & p) + (x >> np.uint64(61))
         fold = np.where(t >= p, t - p, t)
     assert np.array_equal(x % p, fold)
+
+
+@settings(max_examples=3, deadline=None)  # forced Dataset-loop plan is the
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=30),  # slow one
+                          st.integers(min_value=0, max_value=30)),
+                min_size=1, max_size=20))
+def test_pair_components_dataset_loop_plan_property(edges):
+    """Same parity property with join_broadcast_limit=0 — forces the pure
+    Dataset label-propagation loop (the >1M-node plan), which the default
+    small graphs would otherwise never exercise."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blog_parser_ray.functions.dedup import pair_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    want = {x: find(x) for x in {n for e in edges for n in e}}
+    t = pa.table({"a": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "b": pa.array([e[1] for e in edges], type=pa.int64())})
+    got = {r["node"]: r["label"]
+           for r in pair_components(rd.from_arrow(t),
+                                    join_broadcast_limit=0).take_all()}
+    assert got == want
