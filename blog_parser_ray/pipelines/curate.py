@@ -1,0 +1,103 @@
+"""End-to-end LLM training-data curation pipeline (task extension set,
+composed from the operator library):
+
+    documents ──lang-ID filter──quality filter──exact dedup──near-dup
+    apply──mixture sample──stratified split──tokenize──pack
+
+Every stage is one of the already-tested operators; this module only
+composes them, Ray-Data-first: each filter is a map_batches that computes
+the stage's feature ON the batch and filters in place (no join back), the
+dedups use the plan-selected machinery in functions/dedup.py, and packing
+runs per batch. Intermediates are materialized ONLY because the funnel
+reports per-stage counts — a production run at 100 TB would chain the
+stages lazily end-to-end and skip the counts (each count is otherwise a
+re-execution); the composition itself adds no driver state beyond the
+dedup machinery's documented broadcasts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
+                  min_quality: float = 0.35,
+                  near_dup_threshold: float = 0.5,
+                  mixture: dict[str, float] | None = None,
+                  max_len: int = 512,
+                  with_funnel: bool = True):
+    """Run the curation chain over a (doc_id, source, text) Dataset.
+
+    Returns (packed examples Dataset, funnel rows) — funnel is a list of
+    (stage, rows) pairs when ``with_funnel`` (each stage materialized to
+    count it), else an empty list and a fully lazy pipeline.
+    """
+    from ..functions.dedup import (apply_pair_dedup, exact_dedup,
+                                   minhash_dedup_pairs)
+    from ..functions.packing import (mixture_sample, pack_sequences_batch,
+                                     stratified_split)
+    from ..functions.text import lang_id_batch, quality_score_batch
+    from ..synth import tokenize_documents
+
+    funnel: list[tuple[str, int]] = []
+
+    def note(stage: str, d: rd.Dataset) -> rd.Dataset:
+        if with_funnel:
+            d = d.materialize()
+            funnel.append((stage, d.count()))
+        return d
+
+    ds = note("input", ds)
+
+    if lang is not None:
+        def keep_lang(batch: pa.Table) -> pa.Table:
+            preds = lang_id_batch(batch)["lang_pred"]
+            if isinstance(preds, pa.ChunkedArray):
+                preds = preds.combine_chunks()
+            return batch.filter(pc.equal(preds, lang))
+
+        ds = note("lang", ds.map_batches(keep_lang,
+                                         batch_format="pyarrow"))
+
+    def keep_quality(batch: pa.Table) -> pa.Table:
+        q = quality_score_batch(batch)["quality"]
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        return batch.filter(pc.greater_equal(q, min_quality))
+
+    ds = note("quality", ds.map_batches(keep_quality,
+                                        batch_format="pyarrow"))
+
+    ds = note("exact_dedup", exact_dedup(ds, "text", "doc_id"))
+
+    pairs = minhash_dedup_pairs(ds, threshold=near_dup_threshold)
+    ds = note("near_dedup",
+              apply_pair_dedup(ds, rd.from_arrow(pairs.select(["a", "b"])),
+                               key_col="doc_id")
+              if pairs.num_rows else ds)
+
+    if mixture:
+        ds = note("mixture", mixture_sample(ds, mixture))
+
+    ds = note("split", stratified_split(ds))
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        t = tokenize_documents(batch.select(["doc_id", "source", "text"]))
+        return t.append_column("split", batch["split"])
+
+    tokenized = ds.map_batches(tokenize, batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        return pack_sequences_batch(batch.select(
+            ["doc_id", "tokens", "n_tok", "source"]), max_len=max_len)
+
+    # fixed batch_size: pack boundaries are batch boundaries (batch-local
+    # packing), so a pinned size keeps the example count reproducible for
+    # a given row order; the count still legitimately varies with block
+    # layout at scale — only the SEQUENCE membership is invariant
+    packed = note("packed", tokenized.map_batches(
+        pack, batch_format="pyarrow", batch_size=1024))
+    return packed, funnel

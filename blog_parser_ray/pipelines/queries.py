@@ -1508,6 +1508,23 @@ def shuffle_corpus(sf_dir: str):
     return ds.random_shuffle(seed=1234)
 
 
+@q("llm_curate")  # rows-only: composite pipeline (heuristic lang-ID + LSH)
+def llm_curate(sf_dir: str):
+    """End-to-end LLM training-data curation (pipelines/curate.py):
+    lang filter → quality filter → exact dedup → near-dup apply → mixture
+    sample → stratified split → tokenize → pack. Returns the stage funnel
+    (stage, rows) — deterministic through the split stage; the packed-
+    example count depends on batch layout (batch-local packing)."""
+    from .curate import curate_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    _, funnel = curate_corpus(ds, mixture={"src1": 0.5})
+    return pa.table({
+        "stage": pa.array([s for s, _ in funnel], type=pa.string()),
+        "rows": pa.array([n for _, n in funnel], type=pa.int64()),
+    })
+
+
 # ===========================================================================
 # Driver-coverage rotation
 # ===========================================================================
@@ -1535,7 +1552,7 @@ _DRIVER_PRIORITY = [
     # flagship core + remaining rotation (last driver row in r1 or r2)
     "parse_grok", "per_sink_counts", "ntok_hist", "enrich_docs",
     "explode_sections", "lineitem_by_flag", "sorted_counts",
-    "intersect_keys", "except_keys", "tumbling_daily", "token_count",
+    "intersect_keys", "except_keys", "tumbling_daily", "llm_curate",
     "quality_score", "knn_multi", "knn_cosine", "knn_lsh", "shuffle_corpus",
     "approx_users", "rollup_counts", "qty_quantiles", "mixture_sample",
     "dedup_components",

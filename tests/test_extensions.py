@@ -656,3 +656,41 @@ def test_shuffle_corpus_seeded_deterministic():
     c = [r["doc_id"] for r in
          rd.from_arrow(t).random_shuffle(seed=78).take_all()]
     assert a != c
+
+
+def test_llm_curate_pipeline_stages_engage():
+    """The composed curation pipeline: every stage must actually filter /
+    transform (planted inputs), and the funnel must be monotone
+    non-increasing through the filter stages."""
+    from blog_parser_ray import schema as S
+    from blog_parser_ray.pipelines.curate import curate_corpus
+
+    words = list(S.VOCAB_WORDS)[2:40]
+    rng = np.random.default_rng(6)
+    texts, ids, srcs = [], [], []
+    for i in range(40):
+        perm = [words[j] for j in rng.permutation(len(words))[:20]]
+        texts.append(" ".join(perm))
+        ids.append(i)
+        srcs.append(f"src{i % 3}")
+    texts.append(texts[0]); ids.append(100); srcs.append("src0")  # exact dup
+    near = texts[1].split(); near[3] = words[0]
+    texts.append(" ".join(near)); ids.append(101); srcs.append("src1")
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "source": pa.array(srcs),
+                  "text": pa.array(texts)})
+    # lang=None: the heuristic lang-ID over random-vocab synthetic text is
+    # not what this test pins — the dedup/pack stages are
+    packed, funnel = curate_corpus(rd.from_arrow(t), lang=None,
+                                   min_quality=0.0, near_dup_threshold=0.5)
+    f = dict(funnel)
+    assert f["input"] == 42
+    assert f["exact_dedup"] == f["quality"] - 1          # planted exact dup
+    assert f["near_dedup"] <= f["exact_dedup"]
+    counts = [n for _, n in funnel[:-1]]                 # packed re-shapes
+    assert counts == sorted(counts, reverse=True) or all(
+        counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
+    # packed examples respect max_len and conserve sequence membership
+    rows = packed.take_all()
+    assert sum(r["n_seqs"] for r in rows) == f["split"]
+    assert all(r["n_tok"] <= 512 for r in rows)
