@@ -17,7 +17,6 @@ dedup machinery's documented broadcasts.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -33,7 +32,11 @@ def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
 
     Returns (packed examples Dataset, funnel rows) — funnel is a list of
     (stage, rows) pairs when ``with_funnel`` (each stage materialized to
-    count it), else an empty list and a fully lazy pipeline.
+    count it). With ``with_funnel=False`` only the pre-near-dup corpus is
+    materialized (the near-dup verify + pair apply consume it more than
+    once; without that one materialize the filter chain would re-execute
+    ~3x) — the near-dup pair computation itself is eager by nature (it
+    returns the verified pair table).
     """
     from ..functions.dedup import (apply_pair_dedup, exact_dedup,
                                    minhash_dedup_pairs)
@@ -71,18 +74,27 @@ def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
     ds = note("quality", ds.map_batches(keep_quality,
                                         batch_format="pyarrow"))
 
-    ds = note("exact_dedup", exact_dedup(ds, "text", "doc_id"))
+    ds = exact_dedup(ds, "text", "doc_id")
+    if not with_funnel:
+        ds = ds.materialize()  # consumed ≥3x by the near-dup stage
+    ds = note("exact_dedup", ds)
 
     pairs = minhash_dedup_pairs(ds, threshold=near_dup_threshold)
-    ds = note("near_dedup",
-              apply_pair_dedup(ds, rd.from_arrow(pairs.select(["a", "b"])),
-                               key_col="doc_id")
-              if pairs.num_rows else ds)
+    if pairs.num_rows:
+        # pairs are already driver-resident — the list path's union-find
+        # needs no cluster round-trip
+        pair_list = list(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+        ds = apply_pair_dedup(ds, pair_list, key_col="doc_id")
+    ds = note("near_dedup", ds)
 
     if mixture:
         ds = note("mixture", mixture_sample(ds, mixture))
 
-    ds = note("split", stratified_split(ds))
+    # stratified_split is a pure row-preserving map — its count can never
+    # differ from the previous stage, so no materialize for the funnel
+    ds = stratified_split(ds)
+    if with_funnel:
+        funnel.append(("split", funnel[-1][1]))
 
     def tokenize(batch: pa.Table) -> pa.Table:
         t = tokenize_documents(batch.select(["doc_id", "source", "text"]))
@@ -90,9 +102,32 @@ def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
 
     tokenized = ds.map_batches(tokenize, batch_format="pyarrow")
 
+    def fit(batch: pa.Table) -> pa.Table:
+        # pack_sequences_batch REFUSES oversized rows by contract; the
+        # curation policy here is to DROP documents longer than max_len
+        return batch.filter(pc.less_equal(batch["n_tok"], max_len))
+
+    tokenized = note("fit_max_len",
+                     tokenized.map_batches(fit, batch_format="pyarrow"))
+
     def pack(batch: pa.Table) -> pa.Table:
-        return pack_sequences_batch(batch.select(
-            ["doc_id", "tokens", "n_tok", "source"]), max_len=max_len)
+        # pack PER SPLIT so no packed example ever mixes train/val/test
+        # sequences (the whole point of the split); batches are packed
+        # split-group by split-group, split carried on the output
+        out = []
+        splits = batch["split"]
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        for sv in pc.unique(splits).to_pylist():
+            sub = batch.filter(pc.equal(splits, sv)).select(
+                ["doc_id", "tokens", "n_tok", "source"])
+            p = pack_sequences_batch(sub, max_len=max_len)
+            out.append(p.append_column(
+                "split", pa.array([sv] * p.num_rows, type=pa.string())))
+        return pa.concat_tables(out) if out else pack_sequences_batch(
+            batch.select(["doc_id", "tokens", "n_tok", "source"]),
+            max_len=max_len).append_column(
+            "split", pa.array([], type=pa.string()))
 
     # fixed batch_size: pack boundaries are batch boundaries (batch-local
     # packing), so a pinned size keeps the example count reproducible for

@@ -688,9 +688,17 @@ def test_llm_curate_pipeline_stages_engage():
     assert f["exact_dedup"] == f["quality"] - 1          # planted exact dup
     assert f["near_dedup"] <= f["exact_dedup"]
     counts = [n for _, n in funnel[:-1]]                 # packed re-shapes
-    assert counts == sorted(counts, reverse=True) or all(
-        counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
-    # packed examples respect max_len and conserve sequence membership
+    assert counts == sorted(counts, reverse=True)
+    # packed examples respect max_len, conserve sequence membership, and
+    # never mix splits within one example
     rows = packed.take_all()
-    assert sum(r["n_seqs"] for r in rows) == f["split"]
+    assert sum(r["n_seqs"] for r in rows) == f["fit_max_len"]
     assert all(r["n_tok"] <= 512 for r in rows)
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    from blog_parser_ray.functions.packing import stratified_split as _ss
+    want_split = {r["doc_id"]: r["split"]
+                  for r in _ss(rd.from_arrow(t)).take_all()}
+    for r in rows:
+        for d in r["doc_ids"]:
+            base = int(d.rsplit("/", 1)[1])
+            assert want_split[base] == r["split"], (d, r["split"])
