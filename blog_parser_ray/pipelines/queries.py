@@ -1525,6 +1525,68 @@ def llm_curate(sf_dir: str):
     })
 
 
+@q("big_spenders", f"""
+SELECT o_custkey,
+       CAST(sum({_CENTS_SQL.format(x='o_totalprice')}) AS BIGINT)
+         AS spend_cents,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING sum({_CENTS_SQL.format(x='o_totalprice')}) > 100000000
+""")
+def big_spenders(sf_dir: str):
+    """GROUP BY ... HAVING: customers whose total spend exceeds 1M (in
+    integer cents — exact-summable). Partial-first aggregate, then the
+    HAVING filter as a map over the tiny grouped result."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": b["o_custkey"],
+                      "cents": _cents(b["o_totalprice"])})
+        g = t.group_by(["o_custkey"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "p_cents": g["cents_sum"],
+                         "p_cnt": g["count_all"]})
+
+    grouped = (orders.map_batches(partial, batch_format="pyarrow")
+               .groupby("o_custkey")
+               .aggregate(Sum("p_cents", alias_name="spend_cents"),
+                          Sum("p_cnt", alias_name="n_orders")))
+
+    def having(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["spend_cents"], 100_000_000))
+
+    return grouped.map_batches(having, batch_format="pyarrow")
+
+
+@q("cube_counts", """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def cube_counts(sf_dir: str):
+    """CUBE over two columns: the distributed base counts plus all three
+    subtotal planes derived from the tiny base result (same machinery as
+    ROLLUP, plus the column-2-only plane)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    base = agg.group_count(ds, ["l_returnflag", "l_linestatus"],
+                           alias="cnt").to_pandas()
+    sub1 = base.groupby("l_returnflag", as_index=False)["cnt"].sum()
+    sub1["l_linestatus"] = None
+    sub2 = base.groupby("l_linestatus", as_index=False)["cnt"].sum()
+    sub2["l_returnflag"] = None
+    total = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
+                          "cnt": [base["cnt"].sum()]})
+    out = pd.concat([base, sub1, sub2, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "cnt"]]
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
 # ===========================================================================
 # Driver-coverage rotation
 # ===========================================================================
@@ -1552,7 +1614,8 @@ _DRIVER_PRIORITY = [
     # flagship core + remaining rotation (last driver row in r1 or r2)
     "parse_grok", "per_sink_counts", "ntok_hist", "enrich_docs",
     "explode_sections", "lineitem_by_flag", "sorted_counts",
-    "intersect_keys", "except_keys", "tumbling_daily", "llm_curate",
+    "big_spenders", "cube_counts", "llm_curate",
+    "tumbling_daily",
     "quality_score", "knn_multi", "knn_cosine", "knn_lsh", "shuffle_corpus",
     "approx_users", "rollup_counts", "qty_quantiles", "mixture_sample",
     "dedup_components",
