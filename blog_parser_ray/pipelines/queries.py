@@ -1587,6 +1587,114 @@ def cube_counts(sf_dir: str):
     return out
 
 
+@q("grouped_corr", """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 10000 + 0.5) / 10000 AS corr_qty_price
+FROM s
+""")
+def grouped_corr(sf_dir: str):
+    """Statistical aggregate: Pearson correlation of quantity vs price per
+    return flag, from EXACT integer partial sums (quantity is integral,
+    price in cents) — the final float expression is the identical IEEE
+    formula on both sides, so the oracle matches bit-for-bit. Partial-first:
+    six integer sums per block, one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                                    "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(b["l_quantity"], pa.int64())
+        y = _cents(b["l_extendedprice"])
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        })
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [([], "count_all"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"], "p_n": g["count_all"],
+            "p_x": g["x_sum"], "p_y": g["y_sum"], "p_xx": g["xx_sum"],
+            "p_yy": g["yy_sum"], "p_xy": g["xy_sum"]})
+
+    grouped = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("l_returnflag")
+               .aggregate(Sum("p_n", alias_name="n"),
+                          Sum("p_x", alias_name="sx"),
+                          Sum("p_y", alias_name="sy"),
+                          Sum("p_xx", alias_name="sxx"),
+                          Sum("p_yy", alias_name="syy"),
+                          Sum("p_xy", alias_name="sxy")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy().astype(np.float64)
+        sx = b["sx"].to_numpy().astype(np.float64)
+        sy = b["sy"].to_numpy().astype(np.float64)
+        sxx = b["sxx"].to_numpy().astype(np.float64)
+        syy = b["syy"].to_numpy().astype(np.float64)
+        sxy = b["sxy"].to_numpy().astype(np.float64)
+        corr = ((n * sxy - sx * sy)
+                / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)))
+        corr = np.floor(corr * 10000 + 0.5) / 10000
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "n": b["n"],
+                         "corr_qty_price": pa.array(corr)})
+
+    return grouped.map_batches(finish, batch_format="pyarrow")
+
+
+@q("orders_concat", """
+SELECT o_custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY o_orderdate, o_orderkey) AS order_keys
+FROM orders GROUP BY o_custkey
+""")
+def orders_concat(sf_dir: str):
+    """Ordered string aggregation (LISTAGG family): each customer's order
+    keys joined in (date, key) order. Hash-partitioned: one shuffle on
+    hash(key) % P, then a per-partition sort + pandas groupby join over all
+    keys of the partition at once."""
+    import pandas as pd
+
+    from ..functions.window import _with_pid
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"o_custkey": pd.Series([], dtype="int64"),
+                                 "order_keys": pd.Series([], dtype="object")})
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        out = (g.assign(_s=g["o_orderkey"].astype(str))
+               .groupby("o_custkey", sort=False)["_s"]
+               .agg(",".join).reset_index()
+               .rename(columns={"_s": "order_keys"}))
+        return out
+
+    return (_with_pid(orders, "o_custkey")
+            .groupby("_pid").map_groups(per_part, batch_format="pandas"))
+
+
 # ===========================================================================
 # Driver-coverage rotation
 # ===========================================================================
@@ -1610,7 +1718,7 @@ _DRIVER_PRIORITY = [
     "dedup_near_apply", "dedup_docs", "dedup_sequences", "media_features",
     "lang_id", "session_counts", "latest_order", "asof_orders",
     "event_last_order", "orders_customers", "orders_by_nation",
-    "lineitem_parts", "semi_orders", "anti_orders",
+    "lineitem_parts", "grouped_corr", "orders_concat",
     # flagship core + remaining rotation (last driver row in r1 or r2)
     "parse_grok", "per_sink_counts", "ntok_hist", "enrich_docs",
     "explode_sections", "lineitem_by_flag", "sorted_counts",
