@@ -64,3 +64,48 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
         for blob in t["regs"].to_pylist():
             merged = np.maximum(merged, np.frombuffer(blob, dtype=np.int8))
     return _estimate(merged)
+
+
+def approx_quantiles(ds: rd.Dataset, val_col: str, key_col: str,
+                     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                     k: int = 20_000) -> dict[float, float]:
+    """Approximate quantiles via a DETERMINISTIC mergeable min-k sample.
+
+    Tag every row with ``stable_hash(key)`` — a uniform 64-bit draw that is
+    identical on every run, cluster size, and input order — and keep the
+    global k smallest tags: a uniform k-row sample whose empirical
+    quantiles estimate the true ones with error O(1/sqrt(k)) (k=20k →
+    ~±0.7% rank error). The 10^12-scale plan: per-block top-k combiner
+    (argpartition, no sort of the block) → one thin (tag, value) shuffle of
+    ≤ k*blocks rows → global sort+limit — the only full-corpus pass is the
+    tag scan. Deterministic BY KEY: re-runs sample the same rows, unlike
+    seeded reservoir sampling which depends on block layout.
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if pa.types.is_integer(keys.type):
+            tags = stable_hash_ints(keys.to_numpy())
+        else:
+            tags = stable_hash_strings(keys)
+        vals = batch[val_col]
+        if len(tags) > k:
+            idx = np.argpartition(tags, k)[:k]
+            tags = tags[idx]
+            vals = pc.take(vals, pa.array(idx))
+        # order-preserving uint64→int64: flip the sign bit and reinterpret
+        # (an arithmetic `- 2**63` would promote to float64 — 53-bit
+        # precision ⇒ tag ties ⇒ layout-dependent samples)
+        biased = (tags ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({"_tag": pa.array(biased), "_val": vals})
+
+    sample = (ds.map_batches(partial, batch_format="pyarrow")
+              .sort("_tag").limit(k).to_pandas())
+    v = np.sort(sample["_val"].to_numpy().astype(np.float64))
+    n = len(v)
+    if n == 0:
+        return {q: float("nan") for q in qs}
+    return {q: float(v[min(int(q * n), n - 1)]) for q in qs}

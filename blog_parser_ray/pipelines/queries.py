@@ -1695,6 +1695,21 @@ def orders_concat(sf_dir: str):
             .groupby("_pid").map_groups(per_part, batch_format="pandas"))
 
 
+@q("value_quantiles_approx")  # rows-only: sampled estimate, no SQL equality
+def value_quantiles_approx(sf_dir: str):
+    """Mergeable approximate quantiles (functions/sketch.py
+    approx_quantiles): deterministic min-k sample keyed by event_id —
+    identical estimates on any cluster size / input order; accuracy vs the
+    exact quantiles asserted in pytest."""
+    from ..functions.sketch import approx_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    est = approx_quantiles(ds, "value", "event_id", k=5000)
+    qs = sorted(est)
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "value_est": pa.array([round(est[q], 4) for q in qs])})
+
+
 # ===========================================================================
 # Driver-coverage rotation
 # ===========================================================================
@@ -1717,7 +1732,7 @@ _DRIVER_PRIORITY = [
     "dedup_minhash", "dedup_minhash_tokens", "dedup_simhash", "dedup_embed",
     "dedup_near_apply", "dedup_docs", "dedup_sequences", "media_features",
     "lang_id", "session_counts", "latest_order", "asof_orders",
-    "event_last_order", "orders_customers", "orders_by_nation",
+    "event_last_order", "orders_customers", "value_quantiles_approx",
     "lineitem_parts", "grouped_corr", "orders_concat",
     # flagship core + remaining rotation (last driver row in r1 or r2)
     "parse_grok", "per_sink_counts", "ntok_hist", "enrich_docs",

@@ -226,3 +226,22 @@ def test_window_kernels_tolerate_empty_groups():
     lp = latest_per_key(rd.from_arrow(t), key="k", order_col="ts",
                         tiebreak="id", out_cols=["k", "id"]).to_pandas()
     assert lp["id"].tolist() == [7]
+
+
+def test_approx_quantiles_accuracy_and_invariance():
+    """Min-k sample quantiles: within rank-error tolerance of the exact
+    quantiles, and identical across partitionings (deterministic by key)."""
+    from blog_parser_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(17)
+    vals = rng.lognormal(3.0, 1.0, size=50_000)
+    t = pa.table({"event_id": pa.array(np.arange(50_000), type=pa.int64()),
+                  "value": pa.array(vals)})
+    est1 = approx_quantiles(rd.from_arrow(t), "value", "event_id", k=8000)
+    est8 = approx_quantiles(rd.from_arrow(t).repartition(8), "value",
+                            "event_id", k=8000)
+    assert est1 == est8                      # partitioning-invariant
+    for q, got in est1.items():
+        lo, hi = np.quantile(vals, max(q - 0.03, 0)), np.quantile(
+            vals, min(q + 0.03, 1))
+        assert lo <= got <= hi, (q, got, lo, hi)
