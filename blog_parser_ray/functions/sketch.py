@@ -71,15 +71,17 @@ def approx_quantiles(ds: rd.Dataset, val_col: str, key_col: str,
                      k: int = 20_000) -> dict[float, float]:
     """Approximate quantiles via a DETERMINISTIC mergeable min-k sample.
 
-    Tag every row with ``stable_hash(key)`` — a uniform 64-bit draw that is
-    identical on every run, cluster size, and input order — and keep the
-    global k smallest tags: a uniform k-row sample whose empirical
-    quantiles estimate the true ones with error O(1/sqrt(k)) (k=20k →
-    ~±0.7% rank error). The 10^12-scale plan: per-block top-k combiner
-    (argpartition, no sort of the block) → one thin (tag, value) shuffle of
-    ≤ k*blocks rows → global sort+limit — the only full-corpus pass is the
-    tag scan. Deterministic BY KEY: re-runs sample the same rows, unlike
-    seeded reservoir sampling which depends on block layout.
+    Tag every row with ``stable_hash(hash(key) ^ value_bits)`` — a uniform
+    64-bit draw that is identical on every run, cluster size, and input
+    order — and keep the global k smallest tags: a uniform k-row sample
+    whose empirical quantiles estimate the true ones with error
+    O(1/sqrt(k)) (k=20k → ~±0.7% rank error). Mixing the VALUE bits into
+    the tag makes tag ties carry identical values (up to hash collision),
+    so duplicate keys cannot make the boundary cut — and therefore the
+    ESTIMATE — depend on block layout. The 10^12-scale plan: per-block
+    top-k combiner (argpartition, no sort of the block) → one thin
+    (tag, value) shuffle of ≤ k*blocks rows → global sort+limit — the
+    only full-corpus pass is the tag scan.
     """
     import pyarrow.compute as pc
 
@@ -92,6 +94,12 @@ def approx_quantiles(ds: rd.Dataset, val_col: str, key_col: str,
         else:
             tags = stable_hash_strings(keys)
         vals = batch[val_col]
+        vcol = vals.combine_chunks() if isinstance(
+            vals, pa.ChunkedArray) else vals
+        vbits = vcol.to_numpy(zero_copy_only=False).astype(
+            np.float64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            tags = stable_hash_ints(tags ^ vbits)
         if len(tags) > k:
             idx = np.argpartition(tags, k)[:k]
             tags = tags[idx]

@@ -979,6 +979,27 @@ def approx_users(sf_dir: str):
     return pa.table({"approx_distinct_users": pa.array([round(est, 1)])})
 
 
+def _subtotal_planes(base, cols: list[str], planes: list[list[str]]):
+    """Derive subtotal planes + grand total from a distributed base-count
+    frame (shared by ROLLUP and CUBE — one copy of the None-key subtotal
+    and dtype normalization logic)."""
+    import pandas as pd
+
+    parts = [base]
+    for keep in planes:
+        sub = base.groupby(keep, as_index=False)["cnt"].sum()
+        for c in cols:
+            if c not in keep:
+                sub[c] = None
+        parts.append(sub)
+    total = pd.DataFrame({**{c: [None] for c in cols},
+                          "cnt": [base["cnt"].sum()]})
+    parts.append(total)
+    out = pd.concat(parts, ignore_index=True)[cols + ["cnt"]]
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
 @q("rollup_counts", """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -989,16 +1010,8 @@ def rollup_counts(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
     base = agg.group_count(ds, ["l_returnflag", "l_linestatus"],
                            alias="cnt").to_pandas()
-    import pandas as pd
-
-    sub = (base.groupby("l_returnflag", as_index=False)["cnt"].sum())
-    sub["l_linestatus"] = None
-    total = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
-                          "cnt": [base["cnt"].sum()]})
-    out = pd.concat([base, sub, total], ignore_index=True)[
-        ["l_returnflag", "l_linestatus", "cnt"]]
-    out["cnt"] = out["cnt"].astype("int64")
-    return out
+    return _subtotal_planes(base, ["l_returnflag", "l_linestatus"],
+                            [["l_returnflag"]])
 
 
 @q("decode_preview")  # rows-only: vocab decode, no SQL equivalent
@@ -1568,23 +1581,13 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """)
 def cube_counts(sf_dir: str):
     """CUBE over two columns: the distributed base counts plus all three
-    subtotal planes derived from the tiny base result (same machinery as
-    ROLLUP, plus the column-2-only plane)."""
-    import pandas as pd
-
+    subtotal planes (ROLLUP's machinery + the column-2-only plane — shared
+    helper so the None-key subtotal logic exists once)."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
     base = agg.group_count(ds, ["l_returnflag", "l_linestatus"],
                            alias="cnt").to_pandas()
-    sub1 = base.groupby("l_returnflag", as_index=False)["cnt"].sum()
-    sub1["l_linestatus"] = None
-    sub2 = base.groupby("l_linestatus", as_index=False)["cnt"].sum()
-    sub2["l_returnflag"] = None
-    total = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
-                          "cnt": [base["cnt"].sum()]})
-    out = pd.concat([base, sub1, sub2, total], ignore_index=True)[
-        ["l_returnflag", "l_linestatus", "cnt"]]
-    out["cnt"] = out["cnt"].astype("int64")
-    return out
+    return _subtotal_planes(base, ["l_returnflag", "l_linestatus"],
+                            [["l_returnflag"], ["l_linestatus"]])
 
 
 @q("grouped_corr", """
@@ -1611,52 +1614,82 @@ def grouped_corr(sf_dir: str):
     """Statistical aggregate: Pearson correlation of quantity vs price per
     return flag, from EXACT integer partial sums (quantity is integral,
     price in cents) — the final float expression is the identical IEEE
-    formula on both sides, so the oracle matches bit-for-bit. Partial-first:
-    six integer sums per block, one tiny groupby."""
+    formula on both sides, so the oracle matches bit-for-bit.
+
+    Overflow discipline (sum of squared cents reaches 80% of int64 at
+    sf0.1 already): per-block group sums accumulate in uint64 via
+    ``np.add.at`` (exact — yy ≤ 1.1e14/row keeps a ≤400k-row block under
+    2⁶⁴), and each cents-derived block sum ships as an (hi, lo) int64
+    PAIR (hi = s >> 32). The final reduction sums hi and lo separately
+    (each bounded far below int64 even at 10¹² rows / 10⁷ blocks) and the
+    driver reconstructs the exact integer before ONE float conversion —
+    the same single rounding DuckDB applies converting its HUGEINT."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
                                     "l_extendedprice"])
 
     def partial(b: pa.Table) -> pa.Table:
-        x = pc.cast(b["l_quantity"], pa.int64())
-        y = _cents(b["l_extendedprice"])
-        t = pa.table({
-            "l_returnflag": b["l_returnflag"],
-            "x": x, "y": y,
-            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
-            "xy": pc.multiply(x, y),
-        })
-        g = t.group_by(["l_returnflag"]).aggregate(
-            [([], "count_all"), ("x", "sum"), ("y", "sum"),
-             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
-        return pa.table({
-            "l_returnflag": g["l_returnflag"], "p_n": g["count_all"],
-            "p_x": g["x_sum"], "p_y": g["y_sum"], "p_xx": g["xx_sum"],
-            "p_yy": g["yy_sum"], "p_xy": g["xy_sum"]})
+        if b.num_rows > 400_000:
+            raise ValueError("corr partial batch too large for exact "
+                             "uint64 block sums; lower batch size")
+        rf = b["l_returnflag"]
+        if isinstance(rf, pa.ChunkedArray):
+            rf = rf.combine_chunks()
+        enc = rf.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        k = len(uniq)
+        x = b["l_quantity"].to_numpy().astype(np.uint64)
+        y = _cents(b["l_extendedprice"]).to_numpy().astype(np.uint64)
+        sums = {}
+        with np.errstate(over="ignore"):
+            for name, vals in (("x", x), ("y", y), ("xx", x * x),
+                               ("yy", y * y), ("xy", x * y)):
+                acc = np.zeros(k, dtype=np.uint64)
+                np.add.at(acc, codes, vals)
+                sums[name] = acc
+        n = np.bincount(codes, minlength=k)
+        M32 = np.uint64((1 << 32) - 1)
+        out = {"l_returnflag": uniq,
+               "p_n": pa.array(n.astype(np.int64)),
+               "p_x": pa.array(sums["x"].astype(np.int64)),
+               "p_xx": pa.array(sums["xx"].astype(np.int64))}
+        for name in ("y", "yy", "xy"):
+            out[f"p_{name}_hi"] = pa.array(
+                (sums[name] >> np.uint64(32)).astype(np.int64))
+            out[f"p_{name}_lo"] = pa.array(
+                (sums[name] & M32).astype(np.int64))
+        return pa.table(out)
 
     grouped = (ds.map_batches(partial, batch_format="pyarrow")
                .groupby("l_returnflag")
                .aggregate(Sum("p_n", alias_name="n"),
                           Sum("p_x", alias_name="sx"),
-                          Sum("p_y", alias_name="sy"),
                           Sum("p_xx", alias_name="sxx"),
-                          Sum("p_yy", alias_name="syy"),
-                          Sum("p_xy", alias_name="sxy")))
+                          Sum("p_y_hi", alias_name="sy_hi"),
+                          Sum("p_y_lo", alias_name="sy_lo"),
+                          Sum("p_yy_hi", alias_name="syy_hi"),
+                          Sum("p_yy_lo", alias_name="syy_lo"),
+                          Sum("p_xy_hi", alias_name="sxy_hi"),
+                          Sum("p_xy_lo", alias_name="sxy_lo")))
 
     def finish(b: pa.Table) -> pa.Table:
-        n = b["n"].to_numpy().astype(np.float64)
-        sx = b["sx"].to_numpy().astype(np.float64)
-        sy = b["sy"].to_numpy().astype(np.float64)
-        sxx = b["sxx"].to_numpy().astype(np.float64)
-        syy = b["syy"].to_numpy().astype(np.float64)
-        sxy = b["sxy"].to_numpy().astype(np.float64)
-        corr = ((n * sxy - sx * sy)
-                / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)))
-        corr = np.floor(corr * 10000 + 0.5) / 10000
-        return pa.table({"l_returnflag": b["l_returnflag"],
-                         "n": b["n"],
-                         "corr_qty_price": pa.array(corr)})
+        rows = b.to_pylist()  # ≤ distinct-flag rows: exact python-int math
+        corrs = []
+        for r in rows:
+            n, sx, sxx = r["n"], r["sx"], r["sxx"]
+            sy = (r["sy_hi"] << 32) + r["sy_lo"]
+            syy = (r["syy_hi"] << 32) + r["syy_lo"]
+            sxy = (r["sxy_hi"] << 32) + r["sxy_lo"]
+            num = float(n) * float(sxy) - float(sx) * float(sy)
+            den = (np.sqrt(float(n) * float(sxx) - float(sx) * float(sx))
+                   * np.sqrt(float(n) * float(syy) - float(sy) * float(sy)))
+            corrs.append(np.floor(num / den * 10000 + 0.5) / 10000)
+        return pa.table({
+            "l_returnflag": pa.array([r["l_returnflag"] for r in rows]),
+            "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+            "corr_qty_price": pa.array(corrs, type=pa.float64())})
 
     return grouped.map_batches(finish, batch_format="pyarrow")
 
@@ -1725,23 +1758,25 @@ _DRIVER_PRIORITY = [
     "word_counts", "qty_quantiles_by_flag", "token_count_bpe",
     "pack_sequences", "train_split", "semi_orders_bloom",
     "orders_event_window", "ntok_hist_by_sink",
-    # new in round 3 (window-function family)
+    # new in round 3 — never driver-verified (window family, mixture/
+    # shuffle/curate/components, HAVING/CUBE, corr/string-agg, sketch)
     "orders_rank", "events_lag_delta", "orders_cumspend",
+    "mixture_sample", "shuffle_corpus", "dedup_components", "llm_curate",
+    "big_spenders", "cube_counts", "grouped_corr", "orders_concat",
+    "value_quantiles_approx",
     # implementation changed in round 3 (distributed verify / components /
     # window guards / decoder) — re-verify
     "dedup_minhash", "dedup_minhash_tokens", "dedup_simhash", "dedup_embed",
     "dedup_near_apply", "dedup_docs", "dedup_sequences", "media_features",
     "lang_id", "session_counts", "latest_order", "asof_orders",
-    "event_last_order", "orders_customers", "value_quantiles_approx",
-    "lineitem_parts", "grouped_corr", "orders_concat",
+    "event_last_order", "orders_customers",
+    "lineitem_parts",
     # flagship core + remaining rotation (last driver row in r1 or r2)
     "parse_grok", "per_sink_counts", "ntok_hist", "enrich_docs",
     "explode_sections", "lineitem_by_flag", "sorted_counts",
-    "big_spenders", "cube_counts", "llm_curate",
     "tumbling_daily",
-    "quality_score", "knn_multi", "knn_cosine", "knn_lsh", "shuffle_corpus",
-    "approx_users", "rollup_counts", "qty_quantiles", "mixture_sample",
-    "dedup_components",
+    "quality_score", "knn_multi", "knn_cosine", "knn_lsh",
+    "approx_users", "rollup_counts", "qty_quantiles",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 assert len(set(_DRIVER_PRIORITY)) == 50
