@@ -198,8 +198,13 @@ def _labels_checksum(labels: rd.Dataset) -> int:
     """Order-insensitive checksum of a (node, label) Dataset — one thin
     aggregate, used as the convergence test of ``pair_components``. Labels
     are min-monotone per node, so "checksum unchanged" ⇒ "no label changed"
-    up to a ~2⁻⁴⁰ per-iteration hash-collision risk (partials are taken
-    mod 2⁴⁰ to keep the int64 Sum overflow-free)."""
+    up to a ~2⁻⁶⁴ per-iteration hash-collision risk. Overflow is not an
+    error mode but the mechanism: per-block partials are wrapped uint64
+    sums viewed as int64, and the cross-block Sum wraps two's-complement
+    (numpy and Arrow int64 addition are both mod-2⁶⁴), so the final
+    ``% 2⁶⁴`` recovers the exact mod-2⁶⁴ total independent of block
+    layout — no partial-level modulus is taken (a per-block ``% m`` for
+    m < 2⁶⁴ would be layout-SENSITIVE; see the block comment below)."""
 
     def part(b: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
@@ -848,7 +853,16 @@ def _jaccard_verify_fn(threshold: float, id_type: pa.DataType):
     (pair_idx, value) the per-pair intersection size is the count of adjacent
     equal values — no per-pair Python. Empty-vs-empty (union == 0) is
     DEFINED as jaccard 1.0 (can't arise via LSH candidacy: zero-shingle rows
-    never emit band rows)."""
+    never emit band rows).
+
+    Precision contract (deliberate asymmetry vs the cosine verify): the
+    jaccard is ROUNDED to 4 places BEFORE thresholding, preserving the
+    legacy ``ngram_jaccard`` behavior that reports round(j, 4) and that the
+    parity tests pin — a pair at true J ∈ [threshold − 5e-5, threshold)
+    is admitted here. ``embedding_near_dup_pairs`` thresholds the UNROUNDED
+    cosine instead (its own test pins that); changing either side would
+    silently flip boundary pairs, so the asymmetry is documented rather
+    than unified."""
 
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

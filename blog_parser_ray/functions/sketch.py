@@ -96,8 +96,16 @@ def approx_quantiles(ds: rd.Dataset, val_col: str, key_col: str,
         vals = batch[val_col]
         vcol = vals.combine_chunks() if isinstance(
             vals, pa.ChunkedArray) else vals
-        vbits = vcol.to_numpy(zero_copy_only=False).astype(
-            np.float64).view(np.uint64)
+        vnp = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+        # nulls surface as NaN here; untreated they'd draw valid uniform
+        # tags, enter the min-k sample and sort to the TOP, silently
+        # corrupting upper-quantile estimates — drop them (SQL quantile
+        # semantics: NULLs are ignored), mirroring lang_id's null policy
+        ok = ~np.isnan(vnp)
+        if not ok.all():
+            tags, vnp = tags[ok], vnp[ok]
+            vals = vcol.filter(pa.array(ok))
+        vbits = vnp.view(np.uint64)
         with np.errstate(over="ignore"):
             tags = stable_hash_ints(tags ^ vbits)
         if len(tags) > k:

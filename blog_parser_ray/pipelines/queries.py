@@ -1617,11 +1617,14 @@ def grouped_corr(sf_dir: str):
     formula on both sides, so the oracle matches bit-for-bit.
 
     Overflow discipline (sum of squared cents reaches 80% of int64 at
-    sf0.1 already): per-block group sums accumulate in uint64 via
-    ``np.add.at`` (exact — yy ≤ 1.1e14/row keeps a ≤400k-row block under
-    2⁶⁴), and each cents-derived block sum ships as an (hi, lo) int64
-    PAIR (hi = s >> 32). The final reduction sums hi and lo separately
-    (each bounded far below int64 even at 10¹² rows / 10⁷ blocks) and the
+    sf0.1 already): per-block accumulation runs in row CHUNKS sized from
+    the block's own max values (chunk ≤ 2⁶³ / max-per-row-term, so a
+    chunk's uint64 ``np.add.at`` sums cannot wrap for ANY block size —
+    the former fixed 400k guard was arithmetically false above ~167k
+    rows); chunk sums merge into exact Python-int totals. Each
+    cents-derived block sum then ships as an (hi, lo) int64 PAIR
+    (hi = s >> 32). The final reduction sums hi and lo separately (each
+    bounded far below int64 even at 10¹² rows / 10⁷ blocks) and the
     driver reconstructs the exact integer before ONE float conversion —
     the same single rounding DuckDB applies converting its HUGEINT."""
     from ray.data.aggregate import Sum
@@ -1630,9 +1633,6 @@ def grouped_corr(sf_dir: str):
                                     "l_extendedprice"])
 
     def partial(b: pa.Table) -> pa.Table:
-        if b.num_rows > 400_000:
-            raise ValueError("corr partial batch too large for exact "
-                             "uint64 block sums; lower batch size")
         rf = b["l_returnflag"]
         if isinstance(rf, pa.ChunkedArray):
             rf = rf.combine_chunks()
@@ -1642,24 +1642,31 @@ def grouped_corr(sf_dir: str):
         k = len(uniq)
         x = b["l_quantity"].to_numpy().astype(np.uint64)
         y = _cents(b["l_extendedprice"]).to_numpy().astype(np.uint64)
-        sums = {}
-        with np.errstate(over="ignore"):
-            for name, vals in (("x", x), ("y", y), ("xx", x * x),
-                               ("yy", y * y), ("xy", x * y)):
-                acc = np.zeros(k, dtype=np.uint64)
-                np.add.at(acc, codes, vals)
-                sums[name] = acc
+        names = ("x", "y", "xx", "yy", "xy")
+        tot = {nm: [0] * k for nm in names}  # exact arbitrary-precision
+        if len(x):
+            xmax, ymax = int(x.max()), int(y.max())
+            per_row = max(xmax * xmax, ymax * ymax, xmax * ymax, 1)
+            chunk = max(1, (1 << 63) // per_row)
+            for s in range(0, len(x), chunk):
+                cs, xs, ys = codes[s:s + chunk], x[s:s + chunk], y[s:s + chunk]
+                for nm, vals in (("x", xs), ("y", ys), ("xx", xs * xs),
+                                 ("yy", ys * ys), ("xy", xs * ys)):
+                    acc = np.zeros(k, dtype=np.uint64)
+                    np.add.at(acc, cs, vals)
+                    for g, v in enumerate(acc.tolist()):
+                        tot[nm][g] += v
         n = np.bincount(codes, minlength=k)
-        M32 = np.uint64((1 << 32) - 1)
+        M32 = (1 << 32) - 1
         out = {"l_returnflag": uniq,
                "p_n": pa.array(n.astype(np.int64)),
-               "p_x": pa.array(sums["x"].astype(np.int64)),
-               "p_xx": pa.array(sums["xx"].astype(np.int64))}
-        for name in ("y", "yy", "xy"):
-            out[f"p_{name}_hi"] = pa.array(
-                (sums[name] >> np.uint64(32)).astype(np.int64))
-            out[f"p_{name}_lo"] = pa.array(
-                (sums[name] & M32).astype(np.int64))
+               "p_x": pa.array(tot["x"], type=pa.int64()),
+               "p_xx": pa.array(tot["xx"], type=pa.int64())}
+        for nm in ("y", "yy", "xy"):
+            out[f"p_{nm}_hi"] = pa.array([v >> 32 for v in tot[nm]],
+                                         type=pa.int64())
+            out[f"p_{nm}_lo"] = pa.array([v & M32 for v in tot[nm]],
+                                         type=pa.int64())
         return pa.table(out)
 
     grouped = (ds.map_batches(partial, batch_format="pyarrow")

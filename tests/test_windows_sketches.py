@@ -245,3 +245,61 @@ def test_approx_quantiles_accuracy_and_invariance():
         lo, hi = np.quantile(vals, max(q - 0.03, 0)), np.quantile(
             vals, min(q + 0.03, 1))
         assert lo <= got <= hi, (q, got, lo, hi)
+
+
+def test_approx_quantiles_null_nan_dropped():
+    """ADVICE r3: null/NaN values must not enter the min-k sample (they
+    previously drew valid tags and np.sort placed NaN at the top, corrupting
+    upper quantiles). Dropping them = SQL quantile NULL semantics: the
+    estimate over a polluted column equals the estimate over the clean
+    subset."""
+    from blog_parser_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(23)
+    vals = rng.normal(100.0, 10.0, size=20_000)
+    clean = pa.table({"event_id": pa.array(np.arange(20_000)),
+                      "value": pa.array(vals)})
+    polluted_vals = np.concatenate([vals, np.full(5_000, np.nan)])
+    mask = np.concatenate([np.ones(20_000, bool), np.zeros(5_000, bool)])
+    # half the pollution as genuine NULLs, half as NaN payloads
+    nulls = pa.array(np.where(mask, polluted_vals, np.nan),
+                     mask=~mask & (np.arange(25_000) % 2 == 0))
+    polluted = pa.table({"event_id": pa.array(np.arange(25_000)),
+                         "value": nulls})
+    est_clean = approx_quantiles(rd.from_arrow(clean), "value", "event_id",
+                                 k=4000)
+    est_poll = approx_quantiles(rd.from_arrow(polluted), "value", "event_id",
+                                k=4000)
+    assert est_clean == est_poll
+    assert all(np.isfinite(v) for v in est_poll.values())
+
+
+def test_grouped_corr_exact_on_wrapping_block(tmp_path):
+    """ADVICE r3: a single >167k-row block of max-cents prices used to wrap
+    the uint64 yy accumulator silently (400k guard was arithmetically
+    false). The chunked exact accumulation must match DuckDB bit-for-bit on
+    exactly that shape: 300k rows, one parquet file, prices near the 1.05e5
+    ceiling."""
+    import duckdb
+
+    from blog_parser_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    rng = np.random.default_rng(41)
+    n = 300_000
+    t = pa.table({
+        "l_returnflag": pa.array(rng.choice(["A", "N", "R"], size=n)),
+        "l_quantity": pa.array(rng.integers(1, 51, size=n).astype(np.int64)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(90_000.0, 104_949.5, size=n), 2)),
+    })
+    sf = tmp_path / "sf_corr"
+    sf.mkdir()
+    pq.write_table(t, sf / "lineitem.parquet")
+    got = (QUERIES["grouped_corr"](str(sf)).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = (con.execute(ORACLE_SQL["grouped_corr"]).df()
+            .sort_values("l_returnflag").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
