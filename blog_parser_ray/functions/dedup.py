@@ -752,12 +752,15 @@ _PAIRS_BROADCAST_LIMIT = 2_000_000
 
 def _verify_with_payload(ds: rd.Dataset, pairs: rd.Dataset, payload_fn,
                          *, id_col: str, payload_cols: list[str],
-                         val_col: str, verify_fn, empty: pa.Table,
+                         val_col: str, verify_fn,
                          pairs_broadcast_limit: int = _PAIRS_BROADCAST_LIMIT
-                         ) -> pa.Table:
+                         ) -> rd.Dataset:
     """Shared verify driver: gather candidate payloads, attach them to both
-    pair sides, run ``verify_fn`` vectorized in map_batches, collect the
-    (small) verified output sorted by (a, b). Plan by measured pair count:
+    pair sides, run ``verify_fn`` vectorized in map_batches, and return the
+    verified pairs AS A DATASET — nothing is gathered to the driver here
+    (r3 verdict #1: at 100 TB with a 20-30% dup rate the verified pair list
+    is itself cluster-sized; the Table APIs are thin collects on top).
+    Plan by measured pair count:
 
     FAST PATH (pairs ≤ ``pairs_broadcast_limit``): the THIN pair table is
     collected once, its distinct-id array broadcast for the corpus
@@ -797,8 +800,7 @@ def _verify_with_payload(ds: rd.Dataset, pairs: rd.Dataset, payload_fn,
                 f"{val_col}_b": pc.take(pt[val_col], ib)})
             return verify_fn(tbl)
 
-        return _collect_pairs_sorted(
-            pairs.map_batches(attach, batch_format="pyarrow"), empty)
+        return pairs.map_batches(attach, batch_format="pyarrow")
 
     payload = _semi_gather(ds, pairs, id_col, payload_cols).map_batches(
         payload_fn, batch_format="pyarrow")
@@ -808,8 +810,7 @@ def _verify_with_payload(ds: rd.Dataset, pairs: rd.Dataset, payload_fn,
     n_join = min(64, max(2, int(ray.cluster_resources().get("CPU", 8))))
     pairs = pairs.repartition(n_join).materialize()
     joined = _attach_payloads(pairs, payload, id_col, val_col)
-    return _collect_pairs_sorted(
-        joined.map_batches(verify_fn, batch_format="pyarrow"), empty)
+    return joined.map_batches(verify_fn, batch_format="pyarrow")
 
 
 def _attach_payloads(pairs: rd.Dataset, payload: rd.Dataset, id_col: str,
@@ -947,18 +948,19 @@ def _verify_pairs_jaccard(ds: rd.Dataset, pairs: rd.Dataset,
                           id_col: str, payload_cols: list[str],
                           empty: pa.Table,
                           pairs_broadcast_limit: int = _PAIRS_BROADCAST_LIMIT
-                          ) -> pa.Table:
+                          ) -> rd.Dataset:
     """Distributed exact-Jaccard verify: per-row shingle SETS computed in
     the cluster, attached to both pair sides (broadcast or join plan —
     ``_verify_with_payload``), checked vectorized in map_batches. No raw
-    corpus payload ever reaches the driver; the fast path broadcasts only
-    the compact shingle-hash table."""
+    corpus payload ever reaches the driver — the verified pairs come back
+    as a Dataset; the fast path broadcasts only the compact shingle-hash
+    table."""
     return _verify_with_payload(
         ds, pairs, _shingle_set_fn(shingle_of_batch, id_col),
         id_col=id_col, payload_cols=payload_cols, val_col="sh",
         verify_fn=_jaccard_verify_fn(threshold,
                                      empty.schema.field("a").type),
-        empty=empty, pairs_broadcast_limit=pairs_broadcast_limit)
+        pairs_broadcast_limit=pairs_broadcast_limit)
 
 
 def ngram_jaccard(texts: dict, pairs: list[tuple], k: int = 3) -> list[dict]:
@@ -987,24 +989,31 @@ def _id_type_of(ds: rd.Dataset, id_col: str) -> pa.DataType:
     return dict(zip(s.names, s.types))[id_col]
 
 
-def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.7,
-                        num_perm: int = 64, bands: int = 16, k: int = 3,
-                        text_col: str = "text",
-                        pairs_broadcast_limit: int = _PAIRS_BROADCAST_LIMIT
-                        ) -> pa.Table:
-    """Near-dup pairs with verified word-shingle Jaccard ≥ threshold.
+def _empty_pairs(id_type: pa.DataType, score_col: str) -> pa.Table:
+    return pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type),
+                     score_col: pa.array([], pa.float64())})
+
+
+def minhash_dedup_pairs_ds(ds: rd.Dataset, threshold: float = 0.7,
+                           num_perm: int = 64, bands: int = 16, k: int = 3,
+                           text_col: str = "text",
+                           pairs_broadcast_limit: int =
+                           _PAIRS_BROADCAST_LIMIT) -> rd.Dataset:
+    """Near-dup pairs with verified word-shingle Jaccard ≥ threshold, AS A
+    DATASET (a, b, jaccard) — the 100 TB surface: a 20-30% dup rate makes
+    even the verified pair list cluster-sized, so it must stay distributed
+    and feed ``apply_pair_dedup``'s Dataset plan directly (r3 verdict #1).
 
     Fully distributed: LSH candidates stay a Dataset, candidate shingle SETS
     are computed in the cluster and joined onto the pairs (broadcast /
     partitioned plan by size), and the exact Jaccard runs vectorized inside
-    map_batches — the driver sees only the verified output table.
+    map_batches — nothing touches the driver.
     """
     id_type = _id_type_of(ds, "doc_id")
-    empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type),
-                      "jaccard": pa.array([], pa.float64())})
+    empty = _empty_pairs(id_type, "jaccard")
     pairs = minhash_candidates(ds, num_perm, bands, k, text_col)
     if pairs.count() == 0:
-        return empty
+        return rd.from_arrow(empty)
 
     def shingles(batch: pa.Table):
         text = batch[text_col]
@@ -1017,6 +1026,19 @@ def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.7,
                                  payload_cols=["doc_id", text_col],
                                  empty=empty,
                                  pairs_broadcast_limit=pairs_broadcast_limit)
+
+
+def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.7,
+                        num_perm: int = 64, bands: int = 16, k: int = 3,
+                        text_col: str = "text",
+                        pairs_broadcast_limit: int = _PAIRS_BROADCAST_LIMIT
+                        ) -> pa.Table:
+    """Driver-side convenience: ``minhash_dedup_pairs_ds`` collected to one
+    (a, b)-sorted table — only for outputs known small (reports, tests)."""
+    empty = _empty_pairs(_id_type_of(ds, "doc_id"), "jaccard")
+    return _collect_pairs_sorted(
+        minhash_dedup_pairs_ds(ds, threshold, num_perm, bands, k, text_col,
+                               pairs_broadcast_limit), empty)
 
 
 # ---------------------------------------------------------------------------
@@ -1238,13 +1260,15 @@ class EmbeddingBander:
         return embedding_band_rows(batch, **self.kw)
 
 
-def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
-                             col: str = "embedding", id_col: str = "vec_id",
-                             n_bits: int = 8, target_recall: float = 0.99,
-                             seed: int = 13,
-                             pairs_broadcast_limit: int =
-                             _PAIRS_BROADCAST_LIMIT) -> pa.Table:
-    """Pairs with cosine ≥ threshold — hyperplane-LSH bucketed scale path.
+def embedding_near_dup_pairs_ds(ds: rd.Dataset, threshold: float = 0.9,
+                                col: str = "embedding",
+                                id_col: str = "vec_id",
+                                n_bits: int = 8, target_recall: float = 0.99,
+                                seed: int = 13,
+                                pairs_broadcast_limit: int =
+                                _PAIRS_BROADCAST_LIMIT) -> rd.Dataset:
+    """Pairs with cosine ≥ threshold as a DATASET (a, b, cosine) — see
+    ``minhash_dedup_pairs_ds``. Hyperplane-LSH bucketed scale path.
 
     Plan: band-row map_batches (vectors never shuffle; band rows are 3 thin
     columns) → shared distributed bucket-count + in-bucket pair expansion
@@ -1260,8 +1284,7 @@ def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
     (capped by ``max_bucket``) and rejected by the exact verify (cosine 0).
     """
     id_type = _id_type_of(ds, id_col)
-    empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type),
-                      "cosine": pa.array([], pa.float64())})
+    empty = _empty_pairs(id_type, "cosine")
     n_bands = _hyperplane_bands(threshold, n_bits, target_recall)
     sig = ds.map_batches(
         embedding_band_rows,
@@ -1270,7 +1293,7 @@ def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
         batch_format="pyarrow")
     pairs = _lsh_candidate_pairs(sig)
     if pairs.count() == 0:
-        return empty
+        return rd.from_arrow(empty)
 
     def normalize(batch: pa.Table) -> pa.Table:
         M = _embedding_matrix(batch, col)
@@ -1301,8 +1324,23 @@ def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
 
     return _verify_with_payload(
         ds, pairs, normalize, id_col=id_col, payload_cols=[id_col, col],
-        val_col="nv", verify_fn=verify, empty=empty,
+        val_col="nv", verify_fn=verify,
         pairs_broadcast_limit=pairs_broadcast_limit)
+
+
+def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.9,
+                             col: str = "embedding", id_col: str = "vec_id",
+                             n_bits: int = 8, target_recall: float = 0.99,
+                             seed: int = 13,
+                             pairs_broadcast_limit: int =
+                             _PAIRS_BROADCAST_LIMIT) -> pa.Table:
+    """Driver-side convenience: ``embedding_near_dup_pairs_ds`` collected to
+    one (a, b)-sorted table — only for outputs known small."""
+    empty = _empty_pairs(_id_type_of(ds, id_col), "cosine")
+    return _collect_pairs_sorted(
+        embedding_near_dup_pairs_ds(ds, threshold, col, id_col, n_bits,
+                                    target_recall, seed,
+                                    pairs_broadcast_limit), empty)
 
 
 # ---------------------------------------------------------------------------
@@ -1443,27 +1481,26 @@ class TokenMinHasher:
         return minhash_token_band_rows(batch, **self.kw)
 
 
-def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
-                               num_perm: int = 64, bands: int = 16,
-                               k: int = 3,
-                               pairs_broadcast_limit: int =
-                               _PAIRS_BROADCAST_LIMIT) -> pa.Table:
-    """U5 on the flagship payload: near-dup pairs by token-shingle Jaccard.
+def minhash_dedup_pairs_tokens_ds(ds: rd.Dataset, threshold: float = 0.7,
+                                  num_perm: int = 64, bands: int = 16,
+                                  k: int = 3,
+                                  pairs_broadcast_limit: int =
+                                  _PAIRS_BROADCAST_LIMIT) -> rd.Dataset:
+    """U5 on the flagship payload: near-dup pairs by token-shingle Jaccard,
+    as a DATASET (a, b, jaccard) — see ``minhash_dedup_pairs_ds``.
 
-    Same fully-distributed plan as ``minhash_dedup_pairs``: candidates stay a
-    Dataset, token-shingle SETS are computed in the cluster and joined onto
-    the pairs, exact Jaccard runs vectorized in map_batches; the driver sees
-    only the verified output."""
+    Same fully-distributed plan: candidates stay a Dataset, token-shingle
+    SETS are computed in the cluster and joined onto the pairs, exact
+    Jaccard runs vectorized in map_batches; nothing touches the driver."""
     assert num_perm % bands == 0
     id_type = _id_type_of(ds, "doc_id")
-    empty = pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type),
-                      "jaccard": pa.array([], pa.float64())})
+    empty = _empty_pairs(id_type, "jaccard")
     sig = ds.map_batches(minhash_token_band_rows,
                          fn_kwargs=dict(num_perm=num_perm, bands=bands, k=k),
                          batch_format="pyarrow", batch_size=2048)
     pairs = _lsh_candidate_pairs(sig)
     if pairs.count() == 0:
-        return empty
+        return rd.from_arrow(empty)
 
     def shingles(batch: pa.Table):
         return token_shingle_hashes(batch["tokens"], k)
@@ -1473,3 +1510,16 @@ def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
                                  payload_cols=["doc_id", "tokens"],
                                  empty=empty,
                                  pairs_broadcast_limit=pairs_broadcast_limit)
+
+
+def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
+                               num_perm: int = 64, bands: int = 16,
+                               k: int = 3,
+                               pairs_broadcast_limit: int =
+                               _PAIRS_BROADCAST_LIMIT) -> pa.Table:
+    """Driver-side convenience: ``minhash_dedup_pairs_tokens_ds`` collected
+    to one (a, b)-sorted table — only for outputs known small."""
+    empty = _empty_pairs(_id_type_of(ds, "doc_id"), "jaccard")
+    return _collect_pairs_sorted(
+        minhash_dedup_pairs_tokens_ds(ds, threshold, num_perm, bands, k,
+                                      pairs_broadcast_limit), empty)

@@ -35,11 +35,12 @@ def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
     count it). With ``with_funnel=False`` only the pre-near-dup corpus is
     materialized (the near-dup verify + pair apply consume it more than
     once; without that one materialize the filter chain would re-execute
-    ~3x) — the near-dup pair computation itself is eager by nature (it
-    returns the verified pair table).
+    ~3x) — the near-dup candidate generation is eager by nature (LSH
+    bucket counts drive its plan selection), but the verified pairs now
+    flow to ``apply_pair_dedup`` as a Dataset, never through the driver.
     """
     from ..functions.dedup import (apply_pair_dedup, exact_dedup,
-                                   minhash_dedup_pairs)
+                                   minhash_dedup_pairs_ds)
     from ..functions.packing import (mixture_sample, pack_sequences_batch,
                                      stratified_split)
     from ..functions.text import lang_id_batch, quality_score_batch
@@ -79,12 +80,13 @@ def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
         ds = ds.materialize()  # consumed ≥3x by the near-dup stage
     ds = note("exact_dedup", ds)
 
-    pairs = minhash_dedup_pairs(ds, threshold=near_dup_threshold)
-    if pairs.num_rows:
-        # pairs are already driver-resident — the list path's union-find
-        # needs no cluster round-trip
-        pair_list = list(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
-        ds = apply_pair_dedup(ds, pair_list, key_col="doc_id")
+    # verified pairs stay a DATASET end-to-end (r3 verdict #1): at 100 TB
+    # the verified pair list is itself cluster-sized, so it feeds
+    # apply_pair_dedup's plan-selected Dataset path (driver union-find only
+    # below its pairs_driver_limit, distributed components beyond) without
+    # ever gathering pair payloads to the driver here
+    pairs_ds = minhash_dedup_pairs_ds(ds, threshold=near_dup_threshold)
+    ds = apply_pair_dedup(ds, pairs_ds, key_col="doc_id")
     ds = note("near_dedup", ds)
 
     if mixture:

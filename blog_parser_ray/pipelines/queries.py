@@ -730,12 +730,13 @@ def dedup_minhash(sf_dir: str):
 def dedup_near_apply(sf_dir: str):
     """Near-dedup APPLIED end-to-end: MinHash+LSH pairs → union-find
     connected components → corpus with only the min-doc_id survivor of each
-    component (functions/dedup.py apply_pair_dedup)."""
-    from ..functions.dedup import apply_pair_dedup, minhash_dedup_pairs
+    component (functions/dedup.py apply_pair_dedup). The verified pairs
+    flow as a DATASET into apply_pair_dedup's plan-selected path (r3
+    verdict #1) — no driver-side pair gather in the chain."""
+    from ..functions.dedup import apply_pair_dedup, minhash_dedup_pairs_ds
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    pairs_tbl = minhash_dedup_pairs(ds, threshold=0.5)
-    pairs = list(zip(pairs_tbl["a"].to_pylist(), pairs_tbl["b"].to_pylist()))
-    return apply_pair_dedup(ds, pairs, key_col="doc_id")
+    pairs_ds = minhash_dedup_pairs_ds(ds, threshold=0.5)
+    return apply_pair_dedup(ds, pairs_ds, key_col="doc_id")
 
 
 @q("media_features")  # rows-only: fake-decode features, no SQL equivalent
@@ -1480,17 +1481,19 @@ def dedup_components(sf_dir: str):
     path regardless of pair count so the driver gate exercises it."""
     import ray.data as rd
 
-    from ..functions.dedup import minhash_dedup_pairs, pair_components
+    from ..functions.dedup import minhash_dedup_pairs_ds, pair_components
 
     from ..functions.dedup import _id_type_of
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs_tbl = minhash_dedup_pairs(ds, threshold=0.5)
-    if pairs_tbl.num_rows == 0:
+    pairs_ds = minhash_dedup_pairs_ds(ds, threshold=0.5).materialize()
+    if pairs_ds.count() == 0:
         id_type = _id_type_of(ds, "doc_id")
         return pa.table({"node": pa.array([], id_type),
                          "label": pa.array([], id_type)})
-    comp = pair_components(rd.from_arrow(pairs_tbl.select(["a", "b"])))
+    comp = pair_components(
+        pairs_ds.map_batches(lambda b: b.select(["a", "b"]),
+                             batch_format="pyarrow"))
     from ..functions.util import collect_table
     return collect_table(comp).sort_by([("node", "ascending")])
 

@@ -702,3 +702,51 @@ def test_llm_curate_pipeline_stages_engage():
         for d in r["doc_ids"]:
             base = int(d.rsplit("/", 1)[1])
             assert want_split[base] == r["split"], (d, r["split"])
+
+
+def test_pairs_ds_apis_match_table_apis():
+    """r3 verdict #1: the Dataset-returning pair producers must agree
+    exactly with the legacy Table APIs, and the PRODUCED Dataset must drive
+    apply_pair_dedup to the same survivor corpus as the driver pair-list
+    path — end-to-end, no driver gather."""
+    t = _docs_with_dups()
+    ds = rd.from_arrow(t).repartition(4)
+
+    pairs_tbl = dedup.minhash_dedup_pairs(ds, threshold=0.5)
+    pairs_ds = dedup.minhash_dedup_pairs_ds(ds, threshold=0.5)
+    from blog_parser_ray.functions.util import collect_table
+    got = collect_table(pairs_ds).combine_chunks().sort_by(
+        [("a", "ascending"), ("b", "ascending")])
+    assert got.equals(pairs_tbl)
+    assert pairs_tbl.num_rows >= 2  # planted exact + near dup found
+
+    # end-to-end apply: Dataset pairs vs driver list pairs
+    via_ds = dedup.apply_pair_dedup(ds, pairs_ds, key_col="doc_id")
+    via_list = dedup.apply_pair_dedup(
+        ds, list(zip(pairs_tbl["a"].to_pylist(),
+                     pairs_tbl["b"].to_pylist())), key_col="doc_id")
+    assert (sorted(via_ds.to_pandas()["doc_id"])
+            == sorted(via_list.to_pandas()["doc_id"]))
+
+    # the components path must also accept the produced Dataset directly
+    comp = dedup.pair_components(pairs_ds.map_batches(
+        lambda b: b.select(["a", "b"]), batch_format="pyarrow")).to_pandas()
+    assert set(comp["node"]) >= {0, 100}  # planted exact-dup component
+
+
+def test_embedding_pairs_ds_matches_table():
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(12, 16))
+    base[7] = base[2] + rng.normal(scale=0.01, size=16)  # planted near-dup
+    offs = pa.array(np.arange(13, dtype=np.int32) * 16, type=pa.int32())
+    emb = pa.ListArray.from_arrays(offs, pa.array(base.reshape(-1)))
+    t = pa.table({"vec_id": pa.array(np.arange(12), type=pa.int64()),
+                  "embedding": emb})
+    ds = rd.from_arrow(t).repartition(3)
+    tbl = dedup.embedding_near_dup_pairs(ds, threshold=0.9)
+    from blog_parser_ray.functions.util import collect_table
+    got = collect_table(
+        dedup.embedding_near_dup_pairs_ds(ds, threshold=0.9)
+    ).combine_chunks().sort_by([("a", "ascending"), ("b", "ascending")])
+    assert got.equals(tbl)
+    assert (2, 7) in set(zip(tbl["a"].to_pylist(), tbl["b"].to_pylist()))
