@@ -312,3 +312,120 @@ def running_sum(ds: rd.Dataset, *, key: str, order_col: str, tiebreak: str,
     return (_with_pid(ds, key, n_parts)
             .groupby("_pid").map_groups(per_part, batch_format="pandas")
             .drop_columns(["_pid"]))
+
+
+def moving_sum(ds: rd.Dataset, *, key: str, order_col: str, tiebreak: str,
+               val_col: str, preceding: int, sum_col: str = "mov_sum",
+               avg_col: str | None = None,
+               n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """SUM(val) OVER (PARTITION BY key ORDER BY order_col, tiebreak ROWS
+    BETWEEN ``preceding`` PRECEDING AND CURRENT ROW) — the moving-frame
+    aggregate (r3 verdict task #2). ``val_col`` should be INTEGER (cents
+    discipline). Vectorized over all keys of a partition: one global
+    cumsum; each row's frame start is max(key start, row - preceding), so
+    frames never cross a key boundary. With ``avg_col`` the windowed AVG is
+    emitted as ONE IEEE division of the two exact integers (sum / count) —
+    bit-reproducible against any SQL engine computing the same division."""
+    if preceding < 0:
+        raise ValueError("preceding must be >= 0")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[sum_col] = pd.Series([], dtype="int64")
+            if avg_col:
+                out[avg_col] = pd.Series([], dtype="float64")
+            return out
+        g, first, start = _segment_sorted(g, key, [order_col, tiebreak])
+        v = g[val_col].to_numpy().astype(np.int64)
+        idx = np.arange(len(g), dtype=np.int64)
+        lo = np.maximum(start, idx - preceding)
+        cs0 = np.concatenate([[0], np.cumsum(v)])
+        win = cs0[idx + 1] - cs0[lo]
+        out = g.copy()
+        out[sum_col] = win
+        if avg_col:
+            out[avg_col] = win.astype(np.float64) / (idx - lo + 1)
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .drop_columns(["_pid"]))
+
+
+def _key_sizes(first: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (count of rows in this row's key, 0-based row index within
+    the key's last row) from the first-row-of-key mask."""
+    n = len(first)
+    starts_idx = np.flatnonzero(first)
+    sizes = np.diff(np.r_[starts_idx, n])
+    cnt = np.repeat(sizes, sizes)
+    ends = np.repeat(np.r_[starts_idx[1:], n] - 1, sizes)
+    return cnt, ends
+
+
+def ntile_percent_rank(ds: rd.Dataset, *, key: str, order_col: str,
+                       tiebreak: str, n_tiles: int, tile_col: str = "tile",
+                       pr_col: str = "pr",
+                       n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """NTILE(n) and PERCENT_RANK() OVER (PARTITION BY key ORDER BY
+    order_col, tiebreak) in one shuffle. NTILE uses SQL semantics: the
+    first (cnt mod n) tiles get ceil(cnt/n) rows. With a deterministic
+    total order (tiebreak) rank == row_number, so percent_rank is
+    (rn-1)/(cnt-1) — one exact-integer IEEE division, 0.0 for single-row
+    keys; rounded to 4 places (same on the oracle side) for hash
+    stability."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[tile_col] = pd.Series([], dtype="int64")
+            out[pr_col] = pd.Series([], dtype="float64")
+            return out
+        g, first, start = _segment_sorted(g, key, [order_col, tiebreak])
+        idx = np.arange(len(g), dtype=np.int64)
+        j = idx - start                       # 0-based row number in key
+        cnt, _ = _key_sizes(first)
+        q, r = cnt // n_tiles, cnt % n_tiles  # per-row arrays
+        big = (q + 1) * r                     # rows covered by fat tiles
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                j < big, j // np.maximum(q + 1, 1),
+                r + np.where(q > 0, (j - big) // np.maximum(q, 1), 0)) + 1
+            pr = np.where(cnt > 1, j / np.maximum(cnt - 1, 1), 0.0)
+        out = g.copy()
+        out[tile_col] = tile.astype(np.int64)
+        out[pr_col] = np.floor(pr * 10000 + 0.5) / 10000
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .drop_columns(["_pid"]))
+
+
+def edge_values(ds: rd.Dataset, *, key: str, order_col: str, tiebreak: str,
+                val_col: str, first_col: str = "fv", last_col: str = "lv",
+                n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """FIRST_VALUE(val) and LAST_VALUE(val) OVER (PARTITION BY key ORDER BY
+    order_col, tiebreak ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING) in one shuffle — the whole-partition frame (SQL's default
+    last_value frame ends at CURRENT ROW, which is just the value itself;
+    the unbounded frame is the one users mean)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[first_col] = g[val_col]
+            out[last_col] = g[val_col]
+            return out
+        g, first, start = _segment_sorted(g, key, [order_col, tiebreak])
+        v = g[val_col].to_numpy()
+        _, ends = _key_sizes(first)
+        out = g.copy()
+        out[first_col] = v[start]
+        out[last_col] = v[ends]
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .drop_columns(["_pid"]))

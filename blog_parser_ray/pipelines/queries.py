@@ -1473,6 +1473,96 @@ def orders_cumspend(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("orders_moving_avg", f"""
+WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                  {_CENTS_SQL.format(x='o_totalprice')} AS cents FROM orders)
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(cents) OVER w AS BIGINT) AS mov_cents,
+       floor(CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS BIGINT) * 10000 + 0.5) / 10000
+         AS mov_avg
+FROM c
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""")
+def orders_moving_avg(sf_dir: str):
+    """Moving-frame aggregate (r3 verdict #2): 7-order trailing spend per
+    customer — ROWS BETWEEN 6 PRECEDING AND CURRENT ROW. Integer-cents
+    windowed SUM (exact), AVG as ONE IEEE division of the two exact
+    integers then the repo's floor-rounding — bit-identical to the oracle
+    (functions/window.py moving_sum)."""
+    from ..functions.window import moving_sum
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    cents = orders.map_batches(
+        lambda b: b.append_column("cents", _cents(b["o_totalprice"])),
+        batch_format="pyarrow")
+    out = moving_sum(cents, key="o_custkey", order_col="o_orderdate",
+                     tiebreak="o_orderkey", val_col="cents", preceding=6,
+                     sum_col="mov_cents", avg_col="mov_avg")
+    return out.map_batches(
+        lambda b: pa.table({
+            "o_custkey": b["o_custkey"], "o_orderkey": b["o_orderkey"],
+            "mov_cents": b["mov_cents"],
+            "mov_avg": pa.array(_r4(b["mov_avg"].to_numpy()))}),
+        batch_format="pyarrow")
+
+
+@q("orders_ntile", """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS tile,
+       floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pr
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def orders_ntile(sf_dir: str):
+    """NTILE(4) + PERCENT_RANK per customer (r3 verdict #2): SQL tile
+    semantics (first cnt%n tiles get the extra row); percent_rank =
+    (rn-1)/(cnt-1) as one exact-integer IEEE division under the
+    deterministic (date, orderkey) total order
+    (functions/window.py ntile_percent_rank)."""
+    from ..functions.window import ntile_percent_rank
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"])
+    out = ntile_percent_rank(orders, key="o_custkey",
+                             order_col="o_orderdate", tiebreak="o_orderkey",
+                             n_tiles=4, tile_col="tile", pr_col="pr")
+    return out.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "tile", "pr"]),
+        batch_format="pyarrow")
+
+
+@q("orders_edge_values", """
+SELECT o_custkey, o_orderkey,
+       CAST(first_value(o_orderkey) OVER w AS BIGINT) AS fv,
+       CAST(last_value(o_orderkey)
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS BIGINT) AS lv
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def orders_edge_values(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the whole-partition frame (the SQL
+    default last_value frame ends at CURRENT ROW — the unbounded frame is
+    spelled out in the oracle to match): each order row carries its
+    customer's first and last order key (functions/window.py
+    edge_values)."""
+    from ..functions.window import edge_values
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"])
+    out = edge_values(orders, key="o_custkey", order_col="o_orderdate",
+                      tiebreak="o_orderkey", val_col="o_orderkey",
+                      first_col="fv", last_col="lv")
+    return out.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "fv", "lv"]),
+        batch_format="pyarrow")
+
+
 @q("dedup_components")  # rows-only: connected components, no SQL equivalent
 def dedup_components(sf_dir: str):
     """Distributed union-find surfaced directly: MinHash near-dup pairs →

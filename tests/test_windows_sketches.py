@@ -303,3 +303,45 @@ def test_grouped_corr_exact_on_wrapping_block(tmp_path):
     want = (con.execute(ORACLE_SQL["grouped_corr"]).df()
             .sort_values("l_returnflag").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_window_frame_kernels_small():
+    """Moving frame / NTILE / percent_rank / edge values on a hand-checked
+    tiny input: frames never cross key boundaries, NTILE gives the first
+    cnt%n tiles the extra row, single-row keys get percent_rank 0."""
+    from blog_parser_ray.functions.window import (edge_values, moving_sum,
+                                                  ntile_percent_rank)
+
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 1 + ["c"] * 6),
+        "o": pa.array([1, 2, 3, 4, 5] + [1] + [1, 2, 3, 4, 5, 6]),
+        "tb": pa.array(list(range(12)), type=pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50] + [7] + [1, 1, 1, 1, 1, 1],
+                      type=pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+
+    ms = (moving_sum(ds, key="k", order_col="o", tiebreak="tb", val_col="v",
+                     preceding=2, sum_col="ms", avg_col="ma").to_pandas()
+          .sort_values(["k", "o"]).reset_index(drop=True))
+    assert ms[ms["k"] == "a"]["ms"].tolist() == [10, 30, 60, 90, 120]
+    assert ms[ms["k"] == "b"]["ms"].tolist() == [7]       # no cross-key leak
+    assert ms[ms["k"] == "a"]["ma"].tolist() == [10.0, 15.0, 20.0, 30.0,
+                                                 40.0]
+
+    nt = (ntile_percent_rank(ds, key="k", order_col="o", tiebreak="tb",
+                             n_tiles=4).to_pandas()
+          .sort_values(["k", "o"]).reset_index(drop=True))
+    # cnt=5, n=4: tile sizes 2,1,1,1 ; cnt=6: 2,2,1,1 ; cnt=1: single tile
+    assert nt[nt["k"] == "a"]["tile"].tolist() == [1, 1, 2, 3, 4]
+    assert nt[nt["k"] == "b"]["tile"].tolist() == [1]
+    assert nt[nt["k"] == "c"]["tile"].tolist() == [1, 1, 2, 2, 3, 4]
+    assert nt[nt["k"] == "b"]["pr"].tolist() == [0.0]
+    assert nt[nt["k"] == "a"]["pr"].tolist() == [0.0, 0.25, 0.5, 0.75, 1.0]
+
+    ev = (edge_values(ds, key="k", order_col="o", tiebreak="tb",
+                      val_col="v").to_pandas()
+          .sort_values(["k", "o"]).reset_index(drop=True))
+    assert ev[ev["k"] == "a"]["fv"].tolist() == [10] * 5
+    assert ev[ev["k"] == "a"]["lv"].tolist() == [50] * 5
+    assert ev[ev["k"] == "b"]["fv"].tolist() == [7]
