@@ -84,72 +84,96 @@ def asof_join_broadcast(left: rd.Dataset, right: pa.Table, *,
 def asof_join_keyed(left: rd.Dataset, right: rd.Dataset, *, key: str,
                     left_ts: str, right_ts: str,
                     n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
-    """Keyed as-of via hash-bucketed co-grouping: tag sides, pad both to ONE
-    explicit schema (a union of mismatched block schemas silently misaligns
-    columns), union, groupby(hash(key) % P), then a single
-    ``pd.merge_asof(by=key)`` per partition — vectorized across all keys in
-    the partition, not one pandas call per key. Both sides shuffle once."""
-    l_cols = left.schema().names
-    r_cols = right.schema().names
+    """Keyed as-of via hash-bucketed co-grouping, ARROW side-tagged union
+    (r3 verdict #3): both sides are padded to ONE explicit Arrow schema
+    with typed null columns — no pandas conversion before the shuffle, so
+    none of the dtype-promotion drift the former pandas pad/union needed
+    hand-rolled renormalization for. Each partition then runs a single
+    vectorized ``pd.merge_asof(by=key)`` (all keys of the partition at
+    once) and re-emits an explicit Arrow OUT schema, so every partition's
+    block is identically typed.
+
+    Contract: the only column name shared between the sides is ``key``
+    (``left_ts`` != ``right_ts``); right-side (key, ts) ties must be
+    pre-deduplicated by the caller. Output types: left columns keep their
+    Arrow types (timestamps normalized to ns — merge_asof demands one
+    resolution on the on-keys); right-only columns are nullable by
+    left-join semantics — numerics surface as float64 (merge_asof's NaN
+    convention, pinned by tests), timestamps as ns."""
+    import pyarrow.compute as pc
+
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols, r_cols = l_schema.names, r_schema.names
+    lt = dict(zip(l_schema.names, l_schema.types))
+    rt = dict(zip(r_schema.names, r_schema.types))
     r_only = [c for c in r_cols if c not in l_cols]
     all_cols = l_cols + r_only
 
-    def pad(side: int, have: list[str]):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            for c in all_cols:
-                if c not in have:
-                    df[c] = pd.NaT if c in (left_ts, right_ts) else np.nan
-            df["_side"] = side
-            return df[all_cols + ["_side"]]
+    def _ns(c: str, t: pa.DataType) -> pa.DataType:
+        return pa.timestamp("ns") if c in (left_ts, right_ts) else t
+
+    union_schema = pa.schema(
+        [(c, _ns(c, lt[c])) for c in l_cols]
+        + [(c, _ns(c, rt[c])) for c in r_only] + [("_side", pa.int8())])
+
+    def _out_type(t: pa.DataType) -> pa.DataType:
+        if pat.is_timestamp(t):
+            return pa.timestamp("ns")
+        if pat.is_integer(t) or pat.is_floating(t):
+            return pa.float64()
+        return t
+
+    out_schema = pa.schema([(c, _ns(c, lt[c])) for c in l_cols]
+                           + [(c, _out_type(rt[c])) for c in r_only])
+
+    def pad(side: int):
+        have = set(l_cols if side == 0 else r_cols)
+
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = []
+            for f in union_schema:
+                if f.name == "_side":
+                    cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+                elif f.name in have:
+                    cols.append(pc.cast(b[f.name], f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(cols, schema=union_schema)
+
         return fn
 
-    both = (left.map_batches(pad(0, l_cols), batch_format="pandas")
-            .union(right.map_batches(pad(1, r_cols), batch_format="pandas")))
+    both = (left.map_batches(pad(0), batch_format="pyarrow")
+            .union(right.map_batches(pad(1), batch_format="pyarrow")))
 
-    # every partition must emit IDENTICAL dtypes or the cross-partition
-    # concat silently promotes columns (int64 → float64, datetime64 →
-    # float64 NaN). Two sources of drift: (a) the padded union itself
-    # promotes LEFT columns (right-side rows carry NaN for them) — every
-    # output row is a genuine left row, so cast them back to the left
-    # schema; (b) right-only columns are nullable by left-join semantics —
-    # normalize them to (datetime64 | float64 | object) everywhere.
-    l_dtypes = (pa.schema(list(zip(left.schema().names, left.schema().types)))
-                .empty_table().to_pandas().dtypes.to_dict())
+    def _null_fill(t: pa.DataType):
+        if pat.is_timestamp(t):
+            return pd.NaT
+        if pat.is_floating(t):
+            return np.nan
+        return None
 
-    def norm_r_only(df: pd.DataFrame) -> pd.DataFrame:
-        for c in l_cols:
-            if df[c].dtype != l_dtypes[c]:
-                df[c] = df[c].astype(l_dtypes[c])
-        for c in r_only:
-            if c == right_ts or pd.api.types.is_datetime64_any_dtype(df[c]):
-                df[c] = pd.to_datetime(df[c])
-            elif pd.api.types.is_numeric_dtype(df[c]):
-                df[c] = df[c].astype("float64")
-        return df
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        lg = (g[g["_side"] == 0][l_cols]
+    def per_part(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        lg = (df[df["_side"] == 0][l_cols]
               .sort_values(left_ts, kind="mergesort"))
-        rg = (g[g["_side"] == 1][[c for c in r_cols]]
-              .sort_values(right_ts, kind="mergesort"))
-        # merge_asof demands identical datetime RESOLUTION on both on-keys
-        # (parquet us vs aggregate s would raise MergeError) — normalize
-        lg[left_ts] = pd.to_datetime(lg[left_ts]).astype("datetime64[ns]")
-        rg[right_ts] = pd.to_datetime(rg[right_ts]).astype("datetime64[ns]")
         if lg.empty:
-            return pd.DataFrame(columns=all_cols)
+            return out_schema.empty_table()
+        rg = (df[df["_side"] == 1][list(r_cols)]
+              .sort_values(right_ts, kind="mergesort"))
         if rg.empty:
-            out = lg.copy()
-            for c in r_only:
-                out[c] = pd.NaT if c == right_ts else np.nan
-            return norm_r_only(out[all_cols].copy())
-        merged = pd.merge_asof(lg, rg, left_on=left_ts, right_on=right_ts,
-                               by=key)
-        return norm_r_only(merged[all_cols].copy())
+            merged = lg.copy()
+        else:
+            merged = pd.merge_asof(lg, rg, left_on=left_ts,
+                                   right_on=right_ts, by=key)
+        for c in r_only:            # all-empty-right partitions
+            if c not in merged.columns:
+                merged[c] = _null_fill(out_schema.field(c).type)
+        return pa.Table.from_pandas(merged[all_cols], schema=out_schema,
+                                    preserve_index=False)
 
     return (_with_pid(both, key, n_parts)
-            .groupby("_pid").map_groups(per_part, batch_format="pandas"))
+            .groupby("_pid").map_groups(per_part, batch_format="pyarrow"))
 
 
 def session_windows(events: rd.Dataset, *, key: str = "user_id",
