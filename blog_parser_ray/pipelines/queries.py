@@ -1828,19 +1828,63 @@ def orders_concat(sf_dir: str):
             .groupby("_pid").map_groups(per_part, batch_format="pandas"))
 
 
-@q("value_quantiles_approx")  # rows-only: sampled estimate, no SQL equality
+_VQA_EPS = 0.05  # rank-error bound asserted for the k=5000 min-k sketch
+
+
+def _vqa_sql() -> str:
+    """Oracle for the sketch BOUND check (r3 verdict #5): per q, DuckDB's
+    exact quantile_disc at ranks q±ε over the cents-floored domain, plus
+    the asserted verdict sketch_ok=1. The Ray side computes the SAME exact
+    rank-window values distributedly and sets sketch_ok from its own
+    estimate — a driver hash match therefore proves both that the exact
+    quantiles agree AND that the sketch estimate lies inside the
+    DuckDB-verified ε-rank window."""
+    rows = []
+    for q in (0.25, 0.5, 0.75, 0.95):
+        lo, hi = max(q - _VQA_EPS, 0.0), min(q + _VQA_EPS, 1.0)
+        rows.append(
+            f"SELECT {q} AS q, CAST(quantile_disc(vc, {lo}) AS BIGINT) AS "
+            f"lo_cents, CAST(quantile_disc(vc, {hi}) AS BIGINT) AS "
+            f"hi_cents, CAST(1 AS BIGINT) AS sketch_ok FROM c")
+    return ("WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) "
+            "AS vc FROM events WHERE value IS NOT NULL)\n"
+            + "\nUNION ALL ".join(rows))
+
+
+@q("value_quantiles_approx", _vqa_sql())
 def value_quantiles_approx(sf_dir: str):
     """Mergeable approximate quantiles (functions/sketch.py
-    approx_quantiles): deterministic min-k sample keyed by event_id —
-    identical estimates on any cluster size / input order; accuracy vs the
-    exact quantiles asserted in pytest."""
+    approx_quantiles) with a DuckDB-verifiable exactness BOUND (r3 verdict
+    #5 — formerly rows-only): the deterministic min-k sketch estimate is
+    asserted to lie within the exact ε-rank value window
+    [quantile_disc(q-ε), quantile_disc(q+ε)], computed distributedly on
+    the cents-floored domain (monotone map ⇒ quantile commutes; flooring
+    only widens the window). Output = (q, lo_cents, hi_cents, sketch_ok)
+    — the window values hash-match DuckDB, and sketch_ok=1 matches the
+    oracle's asserted verdict, so a sketch regression fails the driver
+    gate. Raw estimates stay available via functions/sketch.py; their
+    accuracy is also pinned in pytest."""
     from ..functions.sketch import approx_quantiles
+    from ..stages import agg
 
     ds = _read(sf_dir, "events", ["event_id", "value"])
     est = approx_quantiles(ds, "value", "event_id", k=5000)
+
+    cents_ds = ds.map_batches(
+        lambda b: pa.table({"vc": _cents(b["value"])}),
+        batch_format="pyarrow")
     qs = sorted(est)
+    pos = sorted({max(q - _VQA_EPS, 0.0) for q in qs}
+                 | {min(q + _VQA_EPS, 1.0) for q in qs})
+    exact = agg.exact_quantiles_bounded(cents_ds, "vc", pos)
+    lo = [int(exact[max(q - _VQA_EPS, 0.0)]) for q in qs]
+    hi = [int(exact[min(q + _VQA_EPS, 1.0)]) for q in qs]
+    est_c = [int(np.floor(est[q] * 100 + 0.5)) for q in qs]
+    ok = [1 if l <= e <= h else 0 for l, e, h in zip(lo, est_c, hi)]
     return pa.table({"q": pa.array(qs, type=pa.float64()),
-                     "value_est": pa.array([round(est[q], 4) for q in qs])})
+                     "lo_cents": pa.array(lo, type=pa.int64()),
+                     "hi_cents": pa.array(hi, type=pa.int64()),
+                     "sketch_ok": pa.array(ok, type=pa.int64())})
 
 
 # ===========================================================================
