@@ -100,7 +100,10 @@ def run_once(num_cpus: int, sf_dir: str) -> dict:
     # subsystem is noisy enough that a single sample can be 2x off.
     walls: list[float] = []
     tokens = rows = None
-    for attempt in range(5):
+    # BPR_BENCH_RUNS trims the schedule for the interleaved scaling windows
+    # (3 → 2 warm-ups + 1 timed run); default 5 = 2 warm-ups + 3 timed.
+    n_runs = max(3, int(os.environ.get("BPR_BENCH_RUNS", "5")))
+    for attempt in range(n_runs):
         out = f"/dev/shm/bpr_bench_out_{num_cpus}_{attempt}"
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.monotonic()
@@ -169,6 +172,22 @@ def _manifest_tokens(out_dir: str) -> int:
     return total
 
 
+def _bench_subprocess(ncpu: int, *, queries: bool, disk: bool,
+                      runs: int | None = None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               BPR_BENCH_QUERIES="1" if queries else "0",
+               BPR_BENCH_DISK="1" if disk else "0")
+    if runs is not None:
+        env["BPR_BENCH_RUNS"] = str(runs)
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"bench subprocess (cpus={ncpu}) failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def scaling() -> dict:
     """N vs 4N CPUs in fresh processes (BASELINE.md protocol).
 
@@ -177,39 +196,46 @@ def scaling() -> dict:
     so parallelism levels beyond 8 measure the host's bandwidth ceiling, not
     the engine. 2→8 sits inside the linear-bandwidth envelope; the 32-CPU
     level is still run and reported for transparency.
+
+    INTERLEAVED windows (r3 verdict #6): the 2- and 8-CPU levels run
+    back-to-back inside each of three windows (2,8), (2,8), (2,8), so every
+    per-window efficiency ratio is computed under ONE host-load condition —
+    round 3's 0.714 outlier came from comparing levels measured an hour
+    apart on the shared VM. Each level in a window is a fresh subprocess
+    with 2 warm-up runs + 1 timed run; the headline value is the median of
+    the per-window efficiencies.
     """
-    results = {}
-    for ncpu in (2, 8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BPR_BENCH_QUERIES="1" if ncpu == 32 else "0",
-                   BPR_BENCH_DISK="1" if ncpu == 32 else "0")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        if out.returncode != 0:
-            sys.stderr.write(out.stderr[-4000:])
-            raise RuntimeError(f"bench subprocess (cpus={ncpu}) failed")
-        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
-    t2, t8, t32 = (results[n]["value"] for n in (2, 8, 32))
-    eff = (t2 / t8) / (8 / 2)
+    windows: list[dict] = []
+    for w in range(3):
+        r2 = _bench_subprocess(2, queries=False, disk=False, runs=3)
+        r8 = _bench_subprocess(8, queries=False, disk=False, runs=3)
+        eff = (r2["value"] / r8["value"]) / (8 / 2)
+        windows.append({"window": w, "sec_2": r2["value"],
+                        "sec_8": r8["value"], "efficiency": round(eff, 3)})
+    effs = sorted(x["efficiency"] for x in windows)
+    t2s = sorted(x["sec_2"] for x in windows)
+    t8s = sorted(x["sec_8"] for x in windows)
+    t2, t8 = t2s[len(t2s) // 2], t8s[len(t8s) // 2]
+
+    # one full 32-CPU pass (queries + disk accounting) for the report body
+    r32 = _bench_subprocess(32, queries=True, disk=True)
+    t32 = r32["value"]
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": effs[len(effs) // 2],
         "unit": "ratio",
-        "levels": "N=2 vs 4N=8 CPUs (see BENCH/BASELINE.md for why not 8/32)",
+        "levels": "N=2 vs 4N=8 CPUs, interleaved same-window pairs "
+                  "(see BENCH/BASELINE.md for why not 8/32)",
+        "windows": windows,
         "sec_2": t2,
         "sec_8": t8,
         "sec_32": t32,
         "efficiency_8_32": round((t8 / t32) / 4, 3),
-        "rows_per_s_2": results[2]["rows_per_s"],
-        "rows_per_s_8": results[8]["rows_per_s"],
-        "rows_per_s_32": results[32]["rows_per_s"],
-        "tokens_per_s_2": results[2]["tokens_per_s"],
-        "tokens_per_s_8": results[8]["tokens_per_s"],
-        "tokens_per_s_32": results[32]["tokens_per_s"],
+        "rows_per_s_32": r32["rows_per_s"],
+        "tokens_per_s_32": r32["tokens_per_s"],
         "num_cpus": 32,
-        "sf": results[32]["sf"],
-        "queries": results[32]["queries"],
+        "sf": r32["sf"],
+        "queries": r32["queries"],
     }
 
 

@@ -26,3 +26,11 @@ No module here calls ``ray.init()`` — sessions are owned by the driver,
 """
 
 __version__ = "0.1.0"
+
+# Silence exactly two benign Ray-executor schema warnings (empty-block noise
+# from sort's schema-less empty partitions — see _quiet.py for the measured
+# evidence that no user-code fix exists). Real schema divergences still log.
+from . import _quiet as _quiet_mod
+
+_quiet_mod.install()
+del _quiet_mod

@@ -31,6 +31,7 @@ import ray.data as rd
 from ray.data.aggregate import Min
 
 from ..hashing import stable_hash_ints, stable_hash_strings
+from .util import arrow_out
 
 # ---------------------------------------------------------------------------
 # exact dedup (U4)
@@ -605,7 +606,7 @@ def _dedup_pairs_ds(pairs: rd.Dataset, n_parts: int = 64,
         return g.drop_duplicates(subset=["a", "b"])[cols]
 
     return (pairs.map_batches(add_pid, batch_format="pyarrow")
-            .groupby("_ppid").map_groups(per_part, batch_format="pandas"))
+            .groupby("_ppid").map_groups(arrow_out(per_part), batch_format="pandas"))
 
 
 def _lsh_candidate_pairs(sig: rd.Dataset, max_bucket: int = 2048,
@@ -678,7 +679,7 @@ def _lsh_candidate_pairs(sig: rd.Dataset, max_bucket: int = 2048,
         return pd.DataFrame({"a": np.concatenate(a_out),
                              "b": np.concatenate(b_out)})
 
-    raw = keyed.groupby("_pid").map_groups(per_part, batch_format="pandas")
+    raw = keyed.groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
     # chain the pair-hash dedup onto the SAME pipeline (one execution, one
     # materialize); cols passed explicitly so schema() never runs upstream
     return _dedup_pairs_ds(raw, n_parts, cols=["a", "b"]).materialize()
@@ -713,7 +714,7 @@ def _distinct_ids_ds(pairs: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
         return g.drop_duplicates(subset=["_cid"])[["_cid"]]
 
     return (pairs.map_batches(ids, batch_format="pyarrow")
-            .groupby("_ipid").map_groups(per_part, batch_format="pandas"))
+            .groupby("_ipid").map_groups(arrow_out(per_part), batch_format="pandas"))
 
 
 def _semi_gather(ds: rd.Dataset, pairs: rd.Dataset, id_col: str,

@@ -19,6 +19,7 @@ import ray
 import ray.data as rd
 
 from ..hashing import stable_hash_ints, stable_hash_strings
+from .util import arrow_out
 
 
 def _bucket_col(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
@@ -164,4 +165,4 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, *,
                           suffixes=("", "_r"))
         return merged[all_cols]
 
-    return both.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(arrow_out(per_bucket), batch_format="pandas")

@@ -25,6 +25,8 @@ import pyarrow.types as pat
 import ray
 import ray.data as rd
 
+from .util import arrow_out
+
 DEFAULT_PARTITIONS = 64
 
 
@@ -216,7 +218,7 @@ def session_windows(events: rd.Dataset, *, key: str = "user_id",
         return out
 
     return (_with_pid(events, key, n_parts)
-            .groupby("_pid").map_groups(per_part, batch_format="pandas"))
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas"))
 
 
 def latest_per_key(ds: rd.Dataset, *, key: str, order_col: str,
@@ -239,7 +241,7 @@ def latest_per_key(ds: rd.Dataset, *, key: str, order_col: str,
         return g.loc[first, out_cols]
 
     return (_with_pid(ds, key, n_parts)
-            .groupby("_pid").map_groups(per_part, batch_format="pandas"))
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas"))
 
 
 def _segment_sorted(g: pd.DataFrame, key: str, order_cols: list[str],
@@ -280,7 +282,7 @@ def rank_in_group(ds: rd.Dataset, *, key: str, order_col: str,
         return out
 
     return (_with_pid(ds, key, n_parts)
-            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
             .drop_columns(["_pid"]))
 
 
@@ -308,7 +310,7 @@ def lag_diff_us(ds: rd.Dataset, *, key: str, ts_col: str, tiebreak: str,
         return out
 
     return (_with_pid(ds, key, n_parts)
-            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
             .drop_columns(["_pid"]))
 
 
@@ -334,7 +336,7 @@ def running_sum(ds: rd.Dataset, *, key: str, order_col: str, tiebreak: str,
         return out
 
     return (_with_pid(ds, key, n_parts)
-            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
             .drop_columns(["_pid"]))
 
 
@@ -373,7 +375,7 @@ def moving_sum(ds: rd.Dataset, *, key: str, order_col: str, tiebreak: str,
         return out
 
     return (_with_pid(ds, key, n_parts)
-            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
             .drop_columns(["_pid"]))
 
 
@@ -423,7 +425,7 @@ def ntile_percent_rank(ds: rd.Dataset, *, key: str, order_col: str,
         return out
 
     return (_with_pid(ds, key, n_parts)
-            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
             .drop_columns(["_pid"]))
 
 
@@ -451,5 +453,5 @@ def edge_values(ds: rd.Dataset, *, key: str, order_col: str, tiebreak: str,
         return out
 
     return (_with_pid(ds, key, n_parts)
-            .groupby("_pid").map_groups(per_part, batch_format="pandas")
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
             .drop_columns(["_pid"]))

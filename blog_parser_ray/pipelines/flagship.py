@@ -24,6 +24,7 @@ from .. import schema as S
 from ..config import PipelineSpec
 from ..stages.enrich import Enricher, build_dim_table
 from ..stages.parse import make_parse_fn
+from ..sources.readers import read_parquet_clean
 from ..stages.route import Router
 
 
@@ -54,14 +55,14 @@ def run_streaming(input_path: str, out_dir: str,
     from ..stages import agg
 
     spec = spec or _Spec()
-    ds = rd.read_parquet(input_path, columns=list(S.SEQUENCES_SCHEMA.names))
+    ds = read_parquet_clean(input_path, columns=list(S.SEQUENCES_SCHEMA.names))
     routed = build_routed(ds, spec, dim)
     sinks_dir = os.path.join(out_dir, "sinks")
     shutil.rmtree(sinks_dir, ignore_errors=True)
     routed.write_parquet(sinks_dir, partition_cols=["sink"])
 
-    back = rd.read_parquet(sinks_dir, columns=["sink", "source",
-                                               "parse_class", "tok_len"])
+    back = read_parquet_clean(sinks_dir, columns=["sink", "source",
+                                              "parse_class", "tok_len"])
     counts, hist = agg.per_sink_counts_and_hist(
         back, bin_width=spec.hist_bin_width, max_tokens=spec.max_tokens)
     import pyarrow.compute as pc

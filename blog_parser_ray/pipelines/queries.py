@@ -32,6 +32,8 @@ from ..config import bridge_spec
 from ..stages import agg
 from ..stages.enrich import build_dim_table
 from ..stages.parse import explode_sections, make_parse_fn
+from ..functions.util import arrow_out
+from ..sources.readers import read_parquet_clean
 from ..synth import tokenize_documents
 from .flagship import build_routed
 
@@ -41,7 +43,10 @@ from .flagship import build_routed
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    # read_parquet_clean strips the files' `pandas` schema metadata (driver
+    # testdata is pandas-written) so downstream sort-reduce schema hashing
+    # never trips over the unhashable metadata dict (r3 verdict #7).
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def _seq_ds(sf_dir: str) -> rd.Dataset:
@@ -229,7 +234,7 @@ FROM events WHERE event_type = 'click' AND value > 10
 def filter_events(sf_dir: str):
     """P4 predicate filter, pushed down to the parquet READ (row-group
     pruning + scan-level filtering — rows never enter the object store)."""
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type", "value"],
         filter=((pc.field("event_type") == "click")
@@ -1825,7 +1830,7 @@ def orders_concat(sf_dir: str):
         return out
 
     return (_with_pid(orders, "o_custkey")
-            .groupby("_pid").map_groups(per_part, batch_format="pandas"))
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas"))
 
 
 _VQA_EPS = 0.05  # rank-error bound asserted for the k=5000 min-k sketch

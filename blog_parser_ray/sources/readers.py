@@ -19,9 +19,38 @@ import ray.data as rd
 from .. import schema as S
 
 
+def read_parquet_clean(path: str, columns: list[str] | None = None,
+                       **kwargs) -> rd.Dataset:
+    """``read_parquet`` with the file's ``pandas`` schema metadata stripped.
+
+    Tables written through pandas carry a ``pandas`` metadata dict on the
+    Arrow schema; it rides through every downstream ``append_column`` and
+    makes ``hash(schema)`` raise inside sort-reduce's ``unify_schemas`` fast
+    path (worker-side "Failed to hash the schemas" warnings, r3 verdict #7).
+    Passing an explicit metadata-free (and column-pruned) schema costs
+    nothing — the reader casts to it anyway — and kills the noise at the
+    source.
+    """
+    first = _first_parquet_file(path)
+    if os.path.isdir(path) and "=" in os.path.relpath(first, path):
+        # hive-partitioned layout (key=value subdirs): partition columns are
+        # not in the file schema, so an explicit schema would drop them
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    sch = pq.read_schema(first).remove_metadata()
+    if columns is not None:
+        if any(sch.get_field_index(c) < 0 for c in columns):
+            # a requested column lives outside the file schema (hive
+            # partition column, e.g. sink=<v> dirs) — the explicit-schema
+            # fast path can't express that; plain read still works and
+            # partition-column reads don't carry pandas metadata anyway
+            return rd.read_parquet(path, columns=columns, **kwargs)
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, schema=sch, columns=columns, **kwargs)
+
+
 def read_sequences(path: str, **kwargs) -> rd.Dataset:
     """S1: read the flagship Parquet corpus with a schema assertion."""
-    ds = rd.read_parquet(path, columns=list(S.SEQUENCES_SCHEMA.names), **kwargs)
+    ds = read_parquet_clean(path, columns=list(S.SEQUENCES_SCHEMA.names), **kwargs)
     assert_schema_of(path)
     return ds
 
@@ -45,8 +74,8 @@ def read_dim(path: str) -> pa.Table:
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                **kwargs) -> rd.Dataset:
     """S6: one of the ten driver testdata tables, with column pruning."""
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
-                           columns=columns, **kwargs)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
+                              columns=columns, **kwargs)
 
 
 def read_any(path: str, fmt: str | None = None, **kwargs) -> rd.Dataset:
@@ -55,7 +84,7 @@ def read_any(path: str, fmt: str | None = None, **kwargs) -> rd.Dataset:
     equivalent for whatever lands in the lake)."""
     fmt = fmt or os.path.splitext(path.rstrip("/"))[1].lstrip(".").lower()
     if fmt in ("parquet", ""):
-        return rd.read_parquet(path, **kwargs)
+        return read_parquet_clean(path, **kwargs)
     if fmt == "csv":
         return rd.read_csv(path, **kwargs)
     if fmt in ("json", "jsonl", "ndjson"):
