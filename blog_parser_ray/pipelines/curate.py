@@ -22,6 +22,26 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
+def lang_keep_batch(batch: pa.Table, *, lang: str) -> pa.Table:
+    """Keep rows whose heuristic language ID equals ``lang`` (stage 1)."""
+    from ..functions.text import lang_id_batch
+
+    preds = lang_id_batch(batch)["lang_pred"]
+    if isinstance(preds, pa.ChunkedArray):
+        preds = preds.combine_chunks()
+    return batch.filter(pc.equal(preds, lang))
+
+
+def quality_keep_batch(batch: pa.Table, *, min_quality: float) -> pa.Table:
+    """Keep rows with quality score >= ``min_quality`` (stage 2)."""
+    from ..functions.text import quality_score_batch
+
+    q = quality_score_batch(batch)["quality"]
+    if isinstance(q, pa.ChunkedArray):
+        q = q.combine_chunks()
+    return batch.filter(pc.greater_equal(q, min_quality))
+
+
 def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
                   min_quality: float = 0.35,
                   near_dup_threshold: float = 0.5,
@@ -31,8 +51,8 @@ def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
     """Run the curation chain over a (doc_id, source, text) Dataset.
 
     Returns (packed examples Dataset, funnel rows) — funnel is a list of
-    (stage, rows) pairs when ``with_funnel`` (each stage materialized to
-    count it). With ``with_funnel=False`` only the pre-near-dup corpus is
+    (stage, rows, wall_sec) triples when ``with_funnel`` (each stage
+    materialized to count it; the wall is that stage's incremental work). With ``with_funnel=False`` only the pre-near-dup corpus is
     materialized (the near-dup verify + pair apply consume it more than
     once; without that one materialize the filter chain would re-execute
     ~3x) — the near-dup candidate generation is eager by nature (LSH
@@ -43,37 +63,32 @@ def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
                                    minhash_dedup_pairs_ds)
     from ..functions.packing import (mixture_sample, pack_sequences_batch,
                                      stratified_split)
-    from ..functions.text import lang_id_batch, quality_score_batch
     from ..synth import tokenize_documents
 
-    funnel: list[tuple[str, int]] = []
+    import time
+
+    funnel: list[tuple[str, int, float]] = []
 
     def note(stage: str, d: rd.Dataset) -> rd.Dataset:
         if with_funnel:
+            t0 = time.monotonic()
             d = d.materialize()
-            funnel.append((stage, d.count()))
+            n = d.count()
+            # wall = this stage's INCREMENTAL work: the previous note
+            # materialized its input, so only the new operators execute here
+            funnel.append((stage, n, round(time.monotonic() - t0, 3)))
         return d
 
     ds = note("input", ds)
 
     if lang is not None:
-        def keep_lang(batch: pa.Table) -> pa.Table:
-            preds = lang_id_batch(batch)["lang_pred"]
-            if isinstance(preds, pa.ChunkedArray):
-                preds = preds.combine_chunks()
-            return batch.filter(pc.equal(preds, lang))
+        ds = note("lang", ds.map_batches(lang_keep_batch,
+                                         batch_format="pyarrow",
+                                         fn_kwargs={"lang": lang}))
 
-        ds = note("lang", ds.map_batches(keep_lang,
-                                         batch_format="pyarrow"))
-
-    def keep_quality(batch: pa.Table) -> pa.Table:
-        q = quality_score_batch(batch)["quality"]
-        if isinstance(q, pa.ChunkedArray):
-            q = q.combine_chunks()
-        return batch.filter(pc.greater_equal(q, min_quality))
-
-    ds = note("quality", ds.map_batches(keep_quality,
-                                        batch_format="pyarrow"))
+    ds = note("quality", ds.map_batches(
+        quality_keep_batch, batch_format="pyarrow",
+        fn_kwargs={"min_quality": min_quality}))
 
     ds = exact_dedup(ds, "text", "doc_id")
     if not with_funnel:
@@ -85,7 +100,13 @@ def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
     # apply_pair_dedup's plan-selected Dataset path (driver union-find only
     # below its pairs_driver_limit, distributed components beyond) without
     # ever gathering pair payloads to the driver here
+    t0 = time.monotonic()
     pairs_ds = minhash_dedup_pairs_ds(ds, threshold=near_dup_threshold)
+    if with_funnel:
+        # pairs generation is eager (LSH bucket counts drive plan selection)
+        # and would otherwise be invisible in the per-stage attribution
+        funnel.append(("near_dup_pairs", pairs_ds.count(),
+                       round(time.monotonic() - t0, 3)))
     ds = apply_pair_dedup(ds, pairs_ds, key_col="doc_id")
     ds = note("near_dedup", ds)
 
@@ -96,7 +117,7 @@ def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
     # differ from the previous stage, so no materialize for the funnel
     ds = stratified_split(ds)
     if with_funnel:
-        funnel.append(("split", funnel[-1][1]))
+        funnel.append(("split", funnel[-1][1], 0.0))
 
     def tokenize(batch: pa.Table) -> pa.Table:
         t = tokenize_documents(batch.select(["doc_id", "source", "text"]))

@@ -1631,8 +1631,8 @@ def llm_curate(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     _, funnel = curate_corpus(ds, mixture={"src1": 0.5})
     return pa.table({
-        "stage": pa.array([s for s, _ in funnel], type=pa.string()),
-        "rows": pa.array([n for _, n in funnel], type=pa.int64()),
+        "stage": pa.array([s for s, _, _ in funnel], type=pa.string()),
+        "rows": pa.array([n for _, n, _ in funnel], type=pa.int64()),
     })
 
 
@@ -1903,29 +1903,30 @@ def value_quantiles_approx(sf_dir: str):
 # with unchanged implementations (all still pass the identical local gate —
 # tools/check_queries.py runs the full registry).
 _DRIVER_PRIORITY = [
-    # never driver-verified before round 3
-    "word_counts", "qty_quantiles_by_flag", "token_count_bpe",
-    "pack_sequences", "train_split", "semi_orders_bloom",
-    "orders_event_window", "ntok_hist_by_sink",
-    # new in round 3 — never driver-verified (window family, mixture/
-    # shuffle/curate/components, HAVING/CUBE, corr/string-agg, sketch)
-    "orders_rank", "events_lag_delta", "orders_cumspend",
-    "mixture_sample", "shuffle_corpus", "dedup_components", "llm_curate",
-    "big_spenders", "cube_counts", "grouped_corr", "orders_concat",
-    "value_quantiles_approx",
-    # implementation changed in round 3 (distributed verify / components /
-    # window guards / decoder) — re-verify
+    # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
+    # unverified; every new/changed implementation is in the next 50).
+    # -- never driver-verified (new in round 4: window frames + edge cases)
+    "orders_moving_avg", "orders_ntile", "orders_edge_values",
+    # -- last green driver row in ROUND 1 (2 rounds stale -- mandatory)
+    "sliding_3h", "knn_ivf", "pivot_events",
+    # -- last green driver row in ROUND 2 (would go 2 rounds stale if
+    #    omitted -- mandatory)
+    "filter_events", "project", "normalize_docs", "semi_orders",
+    "anti_orders", "global_agg", "distinct_sources", "topk_sources",
+    "sample", "union_all", "intersect_keys", "except_keys", "str_funcs",
+    "date_funcs", "math_funcs", "arr_funcs", "json_funcs", "token_count",
+    "fingerprint", "decode_preview", "orders_by_nation",
+    # -- implementation changed in round 4: quantile-sketch oracle,
+    #    Arrow-native as-of, pairs-as-Dataset curate chain, arrow_out
+    #    group outputs (window/dedup/join families), metadata-free reads
+    #    (flagship core)
+    "value_quantiles_approx", "asof_orders", "event_last_order",
+    "dedup_near_apply", "llm_curate", "orders_concat", "session_counts",
+    "latest_order", "orders_rank", "events_lag_delta", "orders_cumspend",
     "dedup_minhash", "dedup_minhash_tokens", "dedup_simhash", "dedup_embed",
-    "dedup_near_apply", "dedup_docs", "dedup_sequences", "media_features",
-    "lang_id", "session_counts", "latest_order", "asof_orders",
-    "event_last_order", "orders_customers",
-    "lineitem_parts",
-    # flagship core + remaining rotation (last driver row in r1 or r2)
-    "parse_grok", "per_sink_counts", "ntok_hist", "enrich_docs",
-    "explode_sections", "lineitem_by_flag", "sorted_counts",
-    "tumbling_daily",
-    "quality_score", "knn_multi", "knn_cosine", "knn_lsh",
-    "approx_users", "rollup_counts", "qty_quantiles",
+    "dedup_docs", "dedup_sequences", "dedup_components",
+    "orders_customers", "lineitem_parts", "per_sink_counts", "parse_grok",
+    "enrich_docs",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 assert len(set(_DRIVER_PRIORITY)) == 50

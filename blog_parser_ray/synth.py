@@ -189,6 +189,55 @@ def synth_table(ids: np.ndarray, seed: int = 42,
     )
 
 
+def synth_documents_table(ids: np.ndarray, seed: int = 42,
+                          dup_frac: float = 0.10,
+                          near_frac: float = 0.05) -> pa.Table:
+    """Deterministic ``(doc_id:int64, source, text)`` documents with PLANTED
+    exact and near duplicates — the corpus-scale input for curation benches
+    (r3 verdict #4; the driver ``documents`` table tops out at 50k rows).
+
+    Content: ``synth_table`` sequences detokenized onto the 31-word bridge
+    vocab (non-special token ``t`` → ``VOCAB_WORDS[(t - N_SPECIALS) % 31]``).
+    A ``dup_frac`` slice of rows collapses its content onto a bucket
+    representative (``id - id % 101``) → exact text duplicates; a
+    ``near_frac`` slice collapses AND appends one word → near duplicates at
+    shingle-Jaccard just below 1. Pure and vectorized, same determinism
+    contract as ``synth_table``.
+    """
+    ids = np.asarray(ids, dtype=np.int64)
+    u = _u01(ids, seed, 17)
+    rep = ids - (ids % np.int64(101))
+    collapse = u < (dup_frac + near_frac)
+    content_ids = np.where(collapse, rep, ids)
+    t = synth_table(content_ids, seed=seed)
+
+    toks = t["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy().astype(np.int64)
+    flat = toks.flatten().to_numpy().astype(np.int64)
+    keep = flat >= S.N_SPECIALS  # drop BOS/EOS/SEC; malformed ids fold via %
+    word_idx = (flat - S.N_SPECIALS) % np.int64(len(S.VOCAB_WORDS))
+    row_of = np.repeat(np.arange(len(ids)), np.diff(offsets))
+    kept_per_row = np.bincount(row_of[keep], minlength=len(ids))
+    new_offsets = np.concatenate([[0], np.cumsum(kept_per_row)])
+    vocab_arr = pa.array(list(S.VOCAB_WORDS), type=pa.string())
+    flat_words = vocab_arr.take(pa.array(word_idx[keep]))
+    words_list = pa.ListArray.from_arrays(
+        pa.array(new_offsets, type=pa.int32()), flat_words)
+    text = pc.binary_join(words_list, " ")
+
+    near = (u >= dup_frac) & (u < dup_frac + near_frac)
+    text = pc.if_else(pa.array(near),
+                      pc.binary_join_element_wise(text, "the", " "),
+                      text)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "source": t["source"],
+        "text": text,
+    })
+
+
 def synth_corpus(out_dir: str, n_rows: int, seed: int = 42,
                  num_partitions: int = 64,
                  vocab_size: int = S.DEFAULT_VOCAB_SIZE) -> None:
