@@ -90,6 +90,12 @@ def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
         quality_keep_batch, batch_format="pyarrow",
         fn_kwargs={"min_quality": min_quality}))
 
+    if not with_funnel:
+        # exact_dedup consumes its input TWICE (winner pass + filter pass),
+        # so without this materialize the lang/quality filter chain — the
+        # most expensive map stages — executes twice in production mode
+        # (the funnel path materializes per stage anyway)
+        ds = ds.materialize()
     ds = exact_dedup(ds, "text", "doc_id")
     if not with_funnel:
         ds = ds.materialize()  # consumed ≥3x by the near-dup stage
