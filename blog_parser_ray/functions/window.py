@@ -455,3 +455,111 @@ def edge_values(ds: rd.Dataset, *, key: str, order_col: str, tiebreak: str,
     return (_with_pid(ds, key, n_parts)
             .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
             .drop_columns(["_pid"]))
+
+
+def lead_diff_us(ds: rd.Dataset, *, key: str, ts_col: str, tiebreak: str,
+                 out_col: str = "next_us", fill: int = -1,
+                 n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """Per key ordered by (ts_col, tiebreak): microseconds until the NEXT
+    row's ts (SQL ``date_diff('microsecond', ts, lead(ts) OVER w)``),
+    ``fill`` for each key's last row — the forward twin of ``lag_diff_us``."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        g, first, _ = _segment_sorted(g, key, [ts_col, tiebreak])
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[:-1] = ts[1:] - ts[:-1]
+        gap[-1] = fill
+        # the last row of each key is the row BEFORE the next key's first
+        last = np.empty(len(g), dtype=bool)
+        last[:-1] = first[1:]
+        last[-1] = True
+        gap[last] = fill
+        out = g.copy()
+        out[out_col] = gap
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
+            .drop_columns(["_pid"]))
+
+
+def rank_with_ties(ds: rd.Dataset, *, key: str, order_col: str,
+                   descending: bool = False, rank_col: str = "rnk",
+                   dense_col: str = "drnk",
+                   n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """RANK() and DENSE_RANK() OVER (PARTITION BY key ORDER BY order_col
+    [DESC]) — tie-aware: rows with equal ``order_col`` share a rank; RANK
+    then skips (gap semantics), DENSE_RANK does not. ``order_col`` must be
+    exactly comparable (integer / cents discipline) or tie groups diverge
+    from the SQL oracle. Vectorized: one sort, one value-change mask, two
+    accumulates."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[rank_col] = pd.Series([], dtype="int64")
+            out[dense_col] = pd.Series([], dtype="int64")
+            return out
+        g, first, start = _segment_sorted(
+            g, key, [order_col], ascending=[True, not descending])
+        v = g[order_col].to_numpy()
+        n = len(g)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = v[1:] != v[:-1]
+        change |= first                       # value runs never cross keys
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(change, idx, 0))
+        c = np.cumsum(change)                 # global dense run counter
+        out = g.copy()
+        out[rank_col] = run_start - start + 1
+        out[dense_col] = c - c[start] + 1
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
+            .drop_columns(["_pid"]))
+
+
+def range_window_sum(ds: rd.Dataset, *, key: str, ts_col: str, val_col: str,
+                     preceding_us: int, out_col: str = "win_sum",
+                     n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """SUM(val) OVER (PARTITION BY key ORDER BY ts_col RANGE BETWEEN
+    <interval> PRECEDING AND CURRENT ROW): the frame is every row of the
+    key whose ts lies in ``[ts - preceding_us, ts]`` — PEERS (equal ts)
+    are all included per SQL RANGE semantics, so no tiebreak is needed and
+    the result is deterministic under ties. ``val_col`` must be INTEGER
+    (cents discipline). One sort + per-key-segment searchsorted (segments
+    per partition ~ keys/n_parts, so the python loop is over segments, not
+    rows; inside each segment everything is vectorized)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        g, first, start = _segment_sorted(g, key, [ts_col])
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g[val_col].to_numpy().astype(np.int64)
+        cs0 = np.concatenate([[0], np.cumsum(v)])
+        n = len(g)
+        starts_idx = np.flatnonzero(first)
+        bounds = np.r_[starts_idx, n]
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - preceding_us, side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        out = g.copy()
+        out[out_col] = cs0[hi] - cs0[lo]
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
+            .drop_columns(["_pid"]))

@@ -1902,11 +1902,305 @@ def value_quantiles_approx(sf_dir: str):
 # the tail holds queries verified green by the driver in BOTH prior rounds
 # with unchanged implementations (all still pass the identical local gate —
 # tools/check_queries.py runs the full registry).
+# ===========================================================================
+# Round-4 additions: tie-aware ranks, lead, RANGE frames, grouped top-k,
+# arg-max aggregate, CASE/COALESCE/NULLIF scalars, set ops, cross join,
+# GROUPING SETS, exact grouped median/mode
+# ===========================================================================
+
+
+@q("orders_value_rank", f"""
+WITH c AS (SELECT o_custkey, o_orderkey,
+                  {_CENTS_SQL.format(x='o_totalprice')} AS cents FROM orders)
+SELECT o_custkey, o_orderkey,
+       CAST(rank()       OVER (PARTITION BY o_custkey ORDER BY cents DESC)
+            AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY cents DESC)
+            AS BIGINT) AS drnk
+FROM c
+""")
+def orders_value_rank(sf_dir: str):
+    """RANK + DENSE_RANK with ties (no tiebreak — equal spend shares a
+    rank; gap vs no-gap semantics). Cents discipline makes tie groups
+    bit-identical to the SQL oracle (functions/window.py rank_with_ties)."""
+    from ..functions.window import rank_with_ties
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"])
+    cents = orders.map_batches(
+        lambda b: b.append_column("cents", _cents(b["o_totalprice"])),
+        batch_format="pyarrow")
+    out = rank_with_ties(cents, key="o_custkey", order_col="cents",
+                         descending=True)
+    return out.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "rnk", "drnk"]),
+        batch_format="pyarrow")
+
+
+@q("events_lead_delta", """
+SELECT user_id, event_id,
+       CAST(COALESCE(date_diff('microsecond', ts,
+                               lead(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)), -1)
+            AS BIGINT) AS next_us
+FROM events
+""")
+def events_lead_delta(sf_dir: str):
+    """LEAD window function: microseconds to the user's NEXT event, -1 at
+    each key's last row (functions/window.py lead_diff_us — the forward
+    twin of events_lag_delta)."""
+    from ..functions.window import lead_diff_us
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    out = lead_diff_us(ev, key="user_id", ts_col="ts", tiebreak="event_id")
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "next_us"]),
+        batch_format="pyarrow")
+
+
+@q("orders_range_30d", f"""
+WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                  {_CENTS_SQL.format(x='o_totalprice')} AS cents FROM orders)
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                             RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                                       AND CURRENT ROW)
+            AS BIGINT) AS win_cents
+FROM c
+""")
+def orders_range_30d(sf_dir: str):
+    """RANGE-frame window: 30-day trailing spend per customer. SQL RANGE
+    semantics (all PEERS of the current date included) make the result
+    deterministic without a tiebreak (functions/window.py
+    range_window_sum; per-key-segment searchsorted)."""
+    from ..functions.window import range_window_sum
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    cents = orders.map_batches(
+        lambda b: b.append_column("cents", _cents(b["o_totalprice"])),
+        batch_format="pyarrow")
+    out = range_window_sum(cents, key="o_custkey", ts_col="o_orderdate",
+                           val_col="cents",
+                           preceding_us=30 * 86_400 * 1_000_000,
+                           out_col="win_cents")
+    return out.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "win_cents"]),
+        batch_format="pyarrow")
+
+
+@q("top3_orders_per_cust", """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate DESC,
+                                          o_orderkey DESC) AS BIGINT) AS rn
+  FROM orders) WHERE rn <= 3
+""")
+def top3_orders_per_cust(sf_dir: str):
+    """Grouped top-k: each customer's 3 most recent orders — rank-in-group
+    on NEGATED sort keys (the kernel sorts ascending) + a rank filter.
+    The scale shape of per-entity top-k: one shuffle, no global sort."""
+    from ..functions.window import rank_in_group
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def negate(b: pa.Table) -> pa.Table:
+        nd = pc.multiply(pc.cast(b["o_orderdate"], pa.int64()), -1)
+        nk = pc.multiply(b["o_orderkey"], -1)
+        return b.append_column("_nd", nd).append_column("_nk", nk)
+
+    keyed = orders.map_batches(negate, batch_format="pyarrow")
+    ranked = rank_in_group(keyed, key="o_custkey", order_col="_nd",
+                           tiebreak="_nk", out_col="rn")
+    return ranked.map_batches(
+        lambda b: b.filter(pc.less_equal(b["rn"], 3)).select(
+            ["o_custkey", "o_orderkey", "rn"]),
+        batch_format="pyarrow")
+
+
+@q("cust_best_order", f"""
+WITH c AS (SELECT o_custkey, o_orderkey,
+                  {_CENTS_SQL.format(x='o_totalprice')} AS cents FROM orders)
+SELECT o_custkey, o_orderkey AS best_orderkey, cents AS best_cents FROM (
+  SELECT o_custkey, o_orderkey, cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY cents DESC, o_orderkey DESC) AS rn
+  FROM c) WHERE rn = 1
+""")
+def cust_best_order(sf_dir: str):
+    """MAX_BY / arg-max aggregate: each customer's highest-value order
+    (deterministic tiebreak on orderkey) — latest_per_key over the cents
+    column instead of a date."""
+    from ..functions.window import latest_per_key
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"])
+    cents = orders.map_batches(
+        lambda b: b.append_column("cents", _cents(b["o_totalprice"])),
+        batch_format="pyarrow")
+    out = latest_per_key(cents, key="o_custkey", order_col="cents",
+                         tiebreak="o_orderkey",
+                         out_cols=["o_custkey", "o_orderkey", "cents"])
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["o_custkey", "best_orderkey", "best_cents"]),
+        batch_format="pyarrow")
+
+
+@q("case_funcs", """
+SELECT event_id,
+       CASE WHEN value > 50 THEN 'hi'
+            WHEN value > 10 THEN 'mid'
+            ELSE 'lo' END AS band,
+       COALESCE(NULLIF(event_type, 'click'), 'CLICKED') AS et2,
+       CASE WHEN value > 50 THEN 1 ELSE 0 END
+         + CASE WHEN event_type = 'view' THEN 10 ELSE 0 END AS code
+FROM events
+""")
+def case_funcs(sf_dir: str):
+    """Scalar conditional family: CASE (multi-branch), COALESCE, NULLIF —
+    vectorized pyarrow.compute case_when / if_else per batch."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        v = b["value"]
+        et = b["event_type"]
+        hi = pc.greater(v, 50.0)
+        mid = pc.greater(v, 10.0)
+        band = pc.case_when(pc.make_struct(hi, mid),
+                            pa.scalar("hi"), pa.scalar("mid"),
+                            pa.scalar("lo"))
+        et2 = pc.if_else(pc.equal(et, "click"), pa.scalar("CLICKED"), et)
+        code = pc.add(
+            pc.cast(hi, pa.int32()),
+            pc.multiply(pc.cast(pc.equal(et, "view"), pa.int32()), 10))
+        return pa.table({"event_id": b["event_id"], "band": band,
+                         "et2": et2, "code": code})
+
+    return ev.map_batches(fn, batch_format="pyarrow")
+
+
+@q("union_distinct_keys", """
+SELECT c_custkey AS key FROM customer
+UNION
+SELECT o_custkey FROM orders
+""")
+def union_distinct_keys(sf_dir: str):
+    """UNION (distinct) of two key projections — Dataset.union + a
+    distributed exact distinct (groupby key, two-phase)."""
+    a = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: b.rename_columns(["key"]), batch_format="pyarrow")
+    b = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["key"]), batch_format="pyarrow")
+    return (a.union(b).groupby("key").count()
+            .map_batches(lambda t: t.select(["key"]),
+                         batch_format="pyarrow"))
+
+
+@q("region_nation_cross", """
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+""")
+def region_nation_cross(sf_dir: str):
+    """CROSS JOIN of two dimension tables: the small side is broadcast once
+    (ray.put) and each batch emits the product — the only sane physical
+    plan for a cross join at scale (never shuffle both sides)."""
+    import ray as _ray
+
+    nation = _read(sf_dir, "nation", ["n_name"]).to_arrow_refs()
+    ntab = pa.concat_tables([_ray.get(r) for r in nation])
+    nref = _ray.put(ntab.combine_chunks())
+
+    def cross(b: pa.Table) -> pa.Table:
+        nt = _ray.get(nref)
+        n, m = b.num_rows, nt.num_rows
+        left = b["r_name"].take(pa.array(np.repeat(np.arange(n), m)))
+        right = nt["n_name"].take(pa.array(np.tile(np.arange(m), n)))
+        return pa.table({"r_name": left, "n_name": right})
+
+    return _read(sf_dir, "region", ["r_name"]).map_batches(
+        cross, batch_format="pyarrow")
+
+
+@q("grouping_sets_counts", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""")
+def grouping_sets_counts(sf_dir: str):
+    """GROUPING SETS with explicit (non-rollup) planes: ONE distributed
+    base count over the full key pair, both planes derived from the tiny
+    base frame driver-side (same machinery as ROLLUP/CUBE, without the
+    base plane or grand total)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    base = agg.group_count(ds, ["o_orderstatus", "o_orderpriority"],
+                           alias="cnt").to_pandas()
+    cols = ["o_orderstatus", "o_orderpriority"]
+    parts = []
+    for keep in (["o_orderstatus"], ["o_orderpriority"]):
+        sub = base.groupby(keep, as_index=False)["cnt"].sum()
+        for c in cols:
+            if c not in keep:
+                sub[c] = None
+        parts.append(sub)
+    out = pd.concat(parts, ignore_index=True)[cols + ["cnt"]]
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+@q("qty_median_mode_by_flag", """
+WITH cnt AS (SELECT l_returnflag, l_quantity AS q, count(*) AS c
+             FROM lineitem GROUP BY 1, 2),
+     m AS (SELECT l_returnflag, q,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY c DESC, q) AS rn
+           FROM cnt)
+SELECT a.l_returnflag, a.med_qty, m.q AS mode_qty
+FROM (SELECT l_returnflag, median(l_quantity) AS med_qty
+      FROM lineitem GROUP BY 1) a
+JOIN m ON a.l_returnflag = m.l_returnflag AND m.rn = 1
+""")
+def qty_median_mode_by_flag(sf_dir: str):
+    """Exact grouped MEDIAN and deterministic MODE (min value among the
+    modal counts) from ONE distributed value-count pass — the
+    low-cardinality-value pattern: only (flag, qty, count) triples ever
+    shuffle, the quantile/mode math runs on the tiny count frame."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    base = (agg.group_count(ds, ["l_returnflag", "l_quantity"], alias="c")
+            .to_pandas().sort_values(["l_returnflag", "l_quantity"]))
+    rows = []
+    for flag, g in base.groupby("l_returnflag", sort=True):
+        vals = g["l_quantity"].to_numpy()
+        cnts = g["c"].to_numpy().astype(np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        if n % 2 == 1:
+            med = float(vals[np.searchsorted(cum, (n + 1) // 2)])
+        else:
+            a = float(vals[np.searchsorted(cum, n // 2)])
+            b = float(vals[np.searchsorted(cum, n // 2 + 1)])
+            # DuckDB median interpolates: a + (b-a)*0.5, exact for halves
+            med = a + (b - a) * 0.5
+        best = np.lexsort((vals, -cnts))[0]  # max count, then min value
+        rows.append((flag, med, float(vals[best])))
+    import pandas as pd
+    return pd.DataFrame(rows,
+                        columns=["l_returnflag", "med_qty", "mode_qty"])
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).
-    # -- never driver-verified (new in round 4: window frames + edge cases)
+    # -- never driver-verified (new in round 4: window frames + edge
+    #    cases; tie-aware ranks, lead, RANGE frame, grouped top-k, arg-max,
+    #    CASE family, set ops, cross join, GROUPING SETS, median/mode)
     "orders_moving_avg", "orders_ntile", "orders_edge_values",
+    "orders_value_rank", "events_lead_delta", "orders_range_30d",
+    "top3_orders_per_cust", "cust_best_order", "case_funcs",
+    "union_distinct_keys", "region_nation_cross", "grouping_sets_counts",
+    "qty_median_mode_by_flag",
     # -- last green driver row in ROUND 1 (2 rounds stale -- mandatory)
     "sliding_3h", "knn_ivf", "pivot_events",
     # -- last green driver row in ROUND 2 (would go 2 rounds stale if
@@ -1920,13 +2214,17 @@ _DRIVER_PRIORITY = [
     #    Arrow-native as-of, pairs-as-Dataset curate chain, arrow_out
     #    group outputs (window/dedup/join families), metadata-free reads
     #    (flagship core)
+    # (r3-verified changed-impl entries orders_rank/events_lag_delta/
+    #  orders_cumspend/dedup_minhash_tokens/dedup_simhash/dedup_embed/
+    #  dedup_sequences/lineitem_parts/parse_grok/enrich_docs yield their
+    #  slots to the new queries above; the sf0.01 DuckDB hash gate covers
+    #  them this round and they rotate back in round 5)
     "value_quantiles_approx", "asof_orders", "event_last_order",
     "dedup_near_apply", "llm_curate", "orders_concat", "session_counts",
-    "latest_order", "orders_rank", "events_lag_delta", "orders_cumspend",
-    "dedup_minhash", "dedup_minhash_tokens", "dedup_simhash", "dedup_embed",
-    "dedup_docs", "dedup_sequences", "dedup_components",
-    "orders_customers", "lineitem_parts", "per_sink_counts", "parse_grok",
-    "enrich_docs",
+    "latest_order",
+    "dedup_minhash",
+    "dedup_docs", "dedup_components",
+    "orders_customers", "per_sink_counts",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 assert len(set(_DRIVER_PRIORITY)) == 50
