@@ -345,3 +345,76 @@ def test_window_frame_kernels_small():
     assert ev[ev["k"] == "a"]["fv"].tolist() == [10] * 5
     assert ev[ev["k"] == "a"]["lv"].tolist() == [50] * 5
     assert ev[ev["k"] == "b"]["fv"].tolist() == [7]
+
+
+def test_rank_with_ties_matches_pandas():
+    """RANK/DENSE_RANK tie semantics vs pandas' method='min'/'dense'."""
+    from blog_parser_ray.functions.window import rank_with_ties
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, n),
+        "v": rng.integers(0, 12, n).astype(np.int64),  # heavy ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    out = rank_with_ties(rd.from_pandas(df).repartition(5), key="k",
+                         order_col="v", descending=True,
+                         n_parts=7).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    ref = df.sort_values("id").reset_index(drop=True)
+    want_rnk = ref.groupby("k")["v"].rank(method="min",
+                                          ascending=False).astype(np.int64)
+    want_drnk = ref.groupby("k")["v"].rank(method="dense",
+                                           ascending=False).astype(np.int64)
+    assert (out["rnk"].to_numpy() == want_rnk.to_numpy()).all()
+    assert (out["drnk"].to_numpy() == want_drnk.to_numpy()).all()
+
+
+def test_range_window_sum_matches_bruteforce():
+    """RANGE frame (peer-inclusive) vs an O(n^2) per-key reference."""
+    from blog_parser_ray.functions.window import range_window_sum
+
+    rng = np.random.default_rng(12)
+    n = 1200
+    ts = rng.integers(0, 500, n) * 1_000_000  # microsecond timestamps, ties
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "v": rng.integers(-50, 100, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    W = 40 * 1_000_000
+    out = range_window_sum(rd.from_pandas(df).repartition(4), key="k",
+                           ts_col="ts", val_col="v", preceding_us=W,
+                           out_col="ws", n_parts=5).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    tsv = ts.astype(np.int64)
+    want = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        m = (df["k"].to_numpy() == df["k"].to_numpy()[i]) \
+            & (tsv >= tsv[i] - W) & (tsv <= tsv[i])
+        want[i] = df["v"].to_numpy()[m].sum()
+    got = out.set_index("id")["ws"]
+    assert (got.loc[np.arange(n)].to_numpy() == want).all()
+
+
+def test_lead_diff_matches_shift():
+    from blog_parser_ray.functions.window import lead_diff_us
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 23, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="us"),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    out = lead_diff_us(rd.from_pandas(df).repartition(4), key="k",
+                       ts_col="ts", tiebreak="id",
+                       n_parts=6).to_pandas().sort_values("id")
+    ref = df.sort_values(["k", "ts", "id"], kind="mergesort")
+    nxt = ref.groupby("k")["ts"].shift(-1)
+    want = ((nxt - ref["ts"]).dt.total_seconds() * 1e6).fillna(-1)
+    want = want.round().astype(np.int64)
+    got = out.set_index("id")["next_us"].loc[ref["id"]]
+    assert (got.to_numpy() == want.to_numpy()).all()
