@@ -1688,43 +1688,11 @@ def cube_counts(sf_dir: str):
                             [["l_returnflag"], ["l_linestatus"]])
 
 
-@q("grouped_corr", """
-WITH s AS (
-  SELECT l_returnflag,
-         count(*) AS n,
-         sum(CAST(l_quantity AS BIGINT)) AS sx,
-         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
-         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
-         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
-         sum(CAST(l_quantity AS BIGINT)
-             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
-  FROM lineitem GROUP BY l_returnflag)
-SELECT l_returnflag,
-       CAST(n AS BIGINT) AS n,
-       floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-             * 10000 + 0.5) / 10000 AS corr_qty_price
-FROM s
-""")
-def grouped_corr(sf_dir: str):
-    """Statistical aggregate: Pearson correlation of quantity vs price per
-    return flag, from EXACT integer partial sums (quantity is integral,
-    price in cents) — the final float expression is the identical IEEE
-    formula on both sides, so the oracle matches bit-for-bit.
-
-    Overflow discipline (sum of squared cents reaches 80% of int64 at
-    sf0.1 already): per-block accumulation runs in row CHUNKS sized from
-    the block's own max values (chunk ≤ 2⁶³ / max-per-row-term, so a
-    chunk's uint64 ``np.add.at`` sums cannot wrap for ANY block size —
-    the former fixed 400k guard was arithmetically false above ~167k
-    rows); chunk sums merge into exact Python-int totals. Each
-    cents-derived block sum then ships as an (hi, lo) int64 PAIR
-    (hi = s >> 32). The final reduction sums hi and lo separately (each
-    bounded far below int64 even at 10¹² rows / 10⁷ blocks) and the
-    driver reconstructs the exact integer before ONE float conversion —
-    the same single rounding DuckDB applies converting its HUGEINT."""
+def _corr_partials_grouped(sf_dir: str):
+    """Exact integer power sums (n, sx, sxx, sy, syy, sxy - cents for the
+    price side, hi/lo-split where a sum can exceed 2^63) per return flag,
+    grouped and reduced distributed. Shared by grouped_corr and
+    grouped_regr; see grouped_corr for the overflow discipline."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
@@ -1778,6 +1746,47 @@ def grouped_corr(sf_dir: str):
                           Sum("p_yy_lo", alias_name="syy_lo"),
                           Sum("p_xy_hi", alias_name="sxy_hi"),
                           Sum("p_xy_lo", alias_name="sxy_lo")))
+    return grouped
+
+
+@q("grouped_corr", """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 10000 + 0.5) / 10000 AS corr_qty_price
+FROM s
+""")
+def grouped_corr(sf_dir: str):
+    """Statistical aggregate: Pearson correlation of quantity vs price per
+    return flag, from EXACT integer partial sums (quantity is integral,
+    price in cents) — the final float expression is the identical IEEE
+    formula on both sides, so the oracle matches bit-for-bit.
+
+    Overflow discipline (sum of squared cents reaches 80% of int64 at
+    sf0.1 already): per-block accumulation runs in row CHUNKS sized from
+    the block's own max values (chunk ≤ 2⁶³ / max-per-row-term, so a
+    chunk's uint64 ``np.add.at`` sums cannot wrap for ANY block size —
+    the former fixed 400k guard was arithmetically false above ~167k
+    rows); chunk sums merge into exact Python-int totals. Each
+    cents-derived block sum then ships as an (hi, lo) int64 PAIR
+    (hi = s >> 32). The final reduction sums hi and lo separately (each
+    bounded far below int64 even at 10¹² rows / 10⁷ blocks) and the
+    driver reconstructs the exact integer before ONE float conversion —
+    the same single rounding DuckDB applies converting its HUGEINT."""
+    grouped = _corr_partials_grouped(sf_dir)
 
     def finish(b: pa.Table) -> pa.Table:
         rows = b.to_pylist()  # ≤ distinct-flag rows: exact python-int math
@@ -2190,6 +2199,224 @@ def qty_median_mode_by_flag(sf_dir: str):
                         columns=["l_returnflag", "med_qty", "mode_qty"])
 
 
+@q("grouped_regr", """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag),
+ d AS (SELECT l_returnflag, n,
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_d,
+              CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+       FROM s)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       floor(slope_d * 10000 + 0.5) / 10000 AS slope_cents_per_qty,
+       floor((syd - slope_d * sxd) / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000
+         AS intercept_cents
+FROM d
+""")
+def grouped_regr(sf_dir: str):
+    """Linear-regression aggregates (REGR_SLOPE / REGR_INTERCEPT of price
+    cents on quantity) per return flag — same exact-integer partial sums as
+    grouped_corr (_corr_partials_grouped), different final expression; the
+    SQL mirrors each IEEE op (slope first, intercept from the UNROUNDED
+    slope) so the hashes match bit-for-bit."""
+    grouped = _corr_partials_grouped(sf_dir)
+
+    def finish(b: pa.Table) -> pa.Table:
+        rows = b.to_pylist()
+        slopes, intercepts = [], []
+        for r in rows:
+            n, sx, sxx = r["n"], r["sx"], r["sxx"]
+            sy = (r["sy_hi"] << 32) + r["sy_lo"]
+            sxy = (r["sxy_hi"] << 32) + r["sxy_lo"]
+            slope = ((float(n) * float(sxy) - float(sx) * float(sy))
+                     / (float(n) * float(sxx) - float(sx) * float(sx)))
+            slopes.append(np.floor(slope * 10000 + 0.5) / 10000)
+            intercepts.append(np.floor(
+                (float(sy) - slope * float(sx)) / float(n) * 10000 + 0.5)
+                / 10000)
+        return pa.table({
+            "l_returnflag": pa.array([r["l_returnflag"] for r in rows]),
+            "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+            "slope_cents_per_qty": pa.array(slopes, type=pa.float64()),
+            "intercept_cents": pa.array(intercepts, type=pa.float64())})
+
+    return grouped.map_batches(finish, batch_format="pyarrow")
+
+
+@q("tumbling_15min", """
+SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts) AS TIMESTAMP) AS win,
+       count(*) AS cnt,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1
+""")
+def tumbling_15min(sf_dir: str):
+    """Sub-hour tumbling window: 15-minute buckets via
+    pc.floor_temporal(multiple=15) — epoch-aligned identically to DuckDB's
+    time_bucket (the 1970→2000 origin offset is a multiple of 15 min).
+    Same partial+final shape as tumbling_daily."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "win": pc.floor_temporal(b["ts"], multiple=15, unit="minute"),
+            "cents": _cents(b["value"]),
+        })
+        g = t.group_by(["win"]).aggregate([([], "count_all"),
+                                           ("cents", "sum")])
+        return g.rename_columns(["win", "p_cnt", "p_cents"])
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("win").aggregate(Sum("p_cnt", alias_name="cnt"),
+                                      Sum("p_cents",
+                                          alias_name="value_cents")))
+
+
+@q("flag_bool_aggs", """
+SELECT l_returnflag,
+       CAST(bool_and(l_quantity > 1)   AS BIGINT) AS all_multi,
+       CAST(bool_or(l_discount > 0.09) AS BIGINT) AS any_bigdisc,
+       CAST(count(*) FILTER (WHERE l_tax > 0.05) AS BIGINT) AS n_hightax
+FROM lineitem GROUP BY 1
+""")
+def flag_bool_aggs(sf_dir: str):
+    """Boolean aggregates + FILTER clause: BOOL_AND = Min of an indicator,
+    BOOL_OR = Max, filtered COUNT = Sum — all two-phase (per-batch Arrow
+    group_by partials, tiny final groupby)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount", "l_tax"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "multi": pc.cast(pc.greater(b["l_quantity"], 1.0), pa.int64()),
+            "bigdisc": pc.cast(pc.greater(b["l_discount"], 0.09),
+                               pa.int64()),
+            "hightax": pc.cast(pc.greater(b["l_tax"], 0.05), pa.int64()),
+        })
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("multi", "min"), ("bigdisc", "max"), ("hightax", "sum")])
+        return g.rename_columns(
+            ["l_returnflag", "p_and", "p_or", "p_cnt"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Min("p_and", alias_name="all_multi"),
+                       Max("p_or", alias_name="any_bigdisc"),
+                       Sum("p_cnt", alias_name="n_hightax")))
+
+
+@q("bitxor_orders", """
+SELECT o_custkey, CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
+FROM orders GROUP BY 1
+""")
+def bitxor_orders(sf_dir: str):
+    """BIT_XOR aggregate via the user-extension surface (§2.10): per-batch
+    vectorized XOR partials (lexsort + reduceat), combined by a CUSTOM Ray
+    AggregateFn — the pattern for any commutative-associative reduction
+    Ray Data lacks natively. Partials are one row per (block, key), so the
+    row-wise AggregateFn only ever touches tiny data."""
+    from ray.data.aggregate import AggregateFn
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        v = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        first = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            first[0] = True
+            first[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(first)
+        xor = np.bitwise_xor.reduceat(vs, starts) if len(ks) else vs
+        return pa.table({"o_custkey": pa.array(ks[starts]),
+                         "p_xor": pa.array(xor)})
+
+    xor_agg = AggregateFn(
+        init=lambda k: 0,
+        merge=lambda a, b: a ^ b,
+        accumulate_row=lambda a, row: a ^ row["p_xor"],
+        name="key_xor")
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_custkey").aggregate(xor_agg))
+
+
+@q("tfidf_terms", """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+ tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+ df AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+ n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.word, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df,
+       CAST(tf.tf * (SELECT n FROM n) AS DOUBLE) / df.df AS score
+FROM tf JOIN df USING (word)
+""")
+def tfidf_terms(sf_dir: str):
+    """TF-IDF-style term scoring over the corpus: per-doc term frequencies
+    computed IN batch (docs never span batches), document frequencies
+    reduced distributed then BROADCAST (vocabulary-sized — thin), score =
+    one exact-integer IEEE division (tf*N/df; the rational form avoids the
+    cross-library ln() reproducibility trap). The 100 TB shape: only
+    (doc, term, count) triples shuffle, never text."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata, no scan
+
+    def tf_batch(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        doc = b["doc_id"].take(pa.array(np.repeat(np.arange(len(b)), lens)))
+        t = pa.table({"doc_id": doc, "word": words.flatten()})
+        g = t.group_by(["doc_id", "word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "word", "tf"])
+
+    tf = docs.map_batches(tf_batch, batch_format="pyarrow").materialize()
+
+    # df: each (doc,word) row is unique -> count rows per word, reduced
+    # distributed; the result is vocabulary-sized -> broadcast
+    df_tbl = _collect_table(
+        tf.map_batches(lambda b: pa.table({"word": b["word"],
+                                           "one": pa.array(
+                                               np.ones(b.num_rows,
+                                                       dtype=np.int64))}),
+                       batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("one", alias_name="df")),
+        pa.schema([("word", pa.string()), ("df", pa.int64())]).empty_table())
+    df_ref = _ray.put(df_tbl.combine_chunks())
+
+    def score(b: pa.Table) -> pa.Table:
+        dft = _ray.get(df_ref)
+        idx = pc.index_in(b["word"], value_set=dft["word"].combine_chunks())
+        dfv = dft["df"].take(idx)
+        tfv = b["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfn = dfv.to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = (tfv * n_docs).astype(np.float64) / dfn
+        return pa.table({"doc_id": b["doc_id"], "word": b["word"],
+                         "tf": pc.cast(b["tf"], pa.int64()),
+                         "df": pa.array(dfn), "score": pa.array(sc)})
+
+    return tf.map_batches(score, batch_format="pyarrow")
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).
@@ -2201,6 +2428,11 @@ _DRIVER_PRIORITY = [
     "top3_orders_per_cust", "cust_best_order", "case_funcs",
     "union_distinct_keys", "region_nation_cross", "grouping_sets_counts",
     "qty_median_mode_by_flag",
+    # -- never driver-verified (new in round 4, batch 2: grouped linear
+    #    regression, sub-hour windows, bool/FILTER aggs, custom
+    #    AggregateFn XOR, TF-IDF term scoring)
+    "grouped_regr", "tumbling_15min", "flag_bool_aggs", "bitxor_orders",
+    "tfidf_terms",
     # -- last green driver row in ROUND 1 (2 rounds stale -- mandatory)
     "sliding_3h", "knn_ivf", "pivot_events",
     # -- last green driver row in ROUND 2 (would go 2 rounds stale if
@@ -2219,12 +2451,13 @@ _DRIVER_PRIORITY = [
     #  dedup_sequences/lineitem_parts/parse_grok/enrich_docs yield their
     #  slots to the new queries above; the sf0.01 DuckDB hash gate covers
     #  them this round and they rotate back in round 5)
+    # (orders_concat/session_counts/latest_order/dedup_components/
+    #  orders_customers additionally yield to the batch-2 queries —
+    #  all five are r3-green with only arrow_out-level changes, gated
+    #  locally at sf0.01 this round, rotating back in round 5)
     "value_quantiles_approx", "asof_orders", "event_last_order",
-    "dedup_near_apply", "llm_curate", "orders_concat", "session_counts",
-    "latest_order",
-    "dedup_minhash",
-    "dedup_docs", "dedup_components",
-    "orders_customers", "per_sink_counts",
+    "dedup_near_apply", "llm_curate",
+    "dedup_minhash", "dedup_docs", "per_sink_counts",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 assert len(set(_DRIVER_PRIORITY)) == 50
