@@ -206,3 +206,82 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "doc_id": batch["doc_id"],
         "fingerprint": hex_arr,
     })
+
+
+def _rel_offsets(words: pa.ListArray) -> np.ndarray:
+    """Slice-rebased offsets (a sliced ListArray's offsets are ABSOLUTE
+    into the parent values buffer while flatten() returns only the
+    slice's values — same gotcha as fingerprint_batch)."""
+    off = words.offsets.to_numpy().astype(np.int64)
+    return off - off[0]
+
+
+def ngram_strings(words: pa.ListArray, n: int = 3):
+    """Word n-gram strings per document, fully vectorized: valid start
+    positions are computed from the list offsets (no gram ever spans two
+    documents), the gram text is one ``binary_join_element_wise`` over n
+    shifted takes of the flattened word buffer.
+
+    Returns ``(grams: pa.StringArray, doc_idx: np.ndarray, g_counts)``
+    where ``doc_idx[i]`` is the batch-row index that gram ``i`` belongs to
+    and ``g_counts[d] = max(n_words_d - n + 1, 0)``."""
+    rel = _rel_offsets(words)
+    counts = rel[1:] - rel[:-1]
+    g_counts = np.maximum(counts - (n - 1), 0)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), g_counts)
+    base = np.repeat(rel[:-1], g_counts)
+    within = (np.arange(doc_idx.size, dtype=np.int64)
+              - np.repeat(np.cumsum(g_counts) - g_counts, g_counts))
+    starts = base + within
+    flat = words.flatten()
+    parts = [flat.take(pa.array(starts + k)) for k in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return grams, doc_idx, g_counts
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Within-document repetition features: distinct-word ratio (the
+    classic boilerplate / keyword-stuffing quality signal). Exact distinct
+    count via Arrow dictionary codes (collision-free, unlike hashing) +
+    one lexsort over the flattened word buffer — O(words log words) per
+    batch, no per-row Python."""
+    words = _split_words(batch[text_col])
+    rel = _rel_offsets(words)
+    counts = rel[1:] - rel[:-1]
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    enc = words.flatten().dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
+    if codes.size:
+        order = np.lexsort((codes, doc_idx))
+        d, c = doc_idx[order], codes[order]
+        first = np.empty(len(d), dtype=bool)
+        first[0] = True
+        first[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        n_distinct = np.bincount(d[first], minlength=batch.num_rows)
+    ratio = np.floor(n_distinct / np.maximum(counts, 1) * 10000.0 + 0.5
+                     ) / 10000.0
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(counts, type=pa.int64()),
+        "n_distinct": pa.array(n_distinct.astype(np.int64),
+                               type=pa.int64()),
+        "distinct_ratio": pa.array(ratio, type=pa.float64()),
+    })
+
+
+def redact_batch(batch: pa.Table, pattern: str, replacement: str,
+                 text_col: str = "text") -> pa.Table:
+    """PII-style regex scrub: count + replace every match of ``pattern``.
+    Arrow's regex engine is RE2 — the same engine DuckDB uses — so
+    ``count_substring_regex`` / ``replace_substring_regex`` match
+    ``regexp_extract_all`` / ``regexp_replace(..., 'g')`` byte-for-byte.
+    (On this synthetic corpus the pattern targets term words; on a real
+    corpus the identical kernel scrubs email/phone/SSN shapes.)"""
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_redacted": pc.cast(
+            pc.count_substring_regex(batch[text_col], pattern), pa.int64()),
+        "text_redacted": pc.replace_substring_regex(
+            batch[text_col], pattern, replacement),
+    })
