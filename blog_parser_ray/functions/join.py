@@ -82,7 +82,17 @@ def equi_join(left: rd.Dataset, right: rd.Dataset, *, left_on: str,
                 "null keys" if keys.null_count else "duplicate keys",
                 right_on)
     # Ray's native join names outer joins "left_outer"/"right_outer"; keep
-    # the pandas-style "left"/"right" at this interface
+    # the pandas-style "left"/"right" at this interface.
+    # RIGHT/FULL outer go straight to the bucketed plan: Ray 2.49's native
+    # full_outer COALESCES the keys into the left key column (SQL FULL
+    # OUTER ON l=r must keep both, with the left key NULL on right-only
+    # rows) and its HashShuffleAggregator.finalize can raise
+    # KeyError(<right_on>) on real inputs. The bucketed pandas merge
+    # preserves both key columns with exact SQL null semantics.
+    if how in ("right", "outer"):
+        return bucketed_hash_join(left, right, left_on=left_on,
+                                  right_on=right_on,
+                                  num_buckets=num_partitions * 4, how=how)
     native_how = {"left": "left_outer", "right": "right_outer",
                   "outer": "full_outer"}.get(how, how)
     try:

@@ -2537,25 +2537,206 @@ def contamination_check(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+@q("cust_orders_left", """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+""")
+def cust_orders_left(sf_dir: str):
+    """LEFT OUTER equi-join (J2's how='left' path — first oracled query
+    entry for it): customers keep their row with null order columns when
+    they have no orders (~1/3 of TPC-H customers). Price passes through
+    unchanged (no arithmetic), so the float column hashes exactly."""
+    from ..functions.join import equi_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"])
+    j = equi_join(cust, orders, left_on="c_custkey", right_on="o_custkey",
+                  how="left")
+    return j.map_batches(
+        lambda b: b.select(["c_custkey", "c_mktsegment", "o_orderkey",
+                            "o_totalprice"]),
+        batch_format="pyarrow")
+
+
+@q("region_nation_outer", """
+SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+FROM (SELECT * FROM region WHERE r_regionkey < 3) r
+FULL OUTER JOIN (SELECT * FROM nation WHERE n_regionkey >= 2) n
+ON r.r_regionkey = n.n_regionkey
+""")
+def region_nation_outer(sf_dir: str):
+    """FULL OUTER equi-join (J2's how='outer' path): the two filtered
+    sides overlap only on key 2, leaving unmatched rows on BOTH sides
+    (left-only keys {0,1} with null nation columns, right-only keys {3,4}
+    with null region columns)."""
+    from ..functions.join import equi_join
+    region = _read(sf_dir, "region").filter(
+        expr="r_regionkey < 3")
+    nation = _read(sf_dir, "nation").filter(
+        expr="n_regionkey >= 2")
+    j = equi_join(region, nation, left_on="r_regionkey",
+                  right_on="n_regionkey", how="outer")
+    return j.map_batches(
+        lambda b: b.select(["r_regionkey", "r_name", "n_nationkey",
+                            "n_name"]),
+        batch_format="pyarrow")
+
+
+@q("approx_users_by_type", """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS hll_ok
+FROM events GROUP BY 1
+""")
+def approx_users_by_type(sf_dir: str):
+    """GROUPED HyperLogLog distinct (A5 extended per-group) with an
+    exactness-bound oracle, the value_quantiles_approx pattern: the sketch
+    estimate is asserted within 4σ (σ = 1.04/√m, m=2¹²  ⇒  ±6.5%) of the
+    exact per-group distinct, itself computed distributed (per-batch
+    unique (type,user) pairs → ONE pair-hash shuffle → per-partition
+    global dedup + partial counts → tiny final Sum). A sketch regression
+    flips hll_ok and fails the driver's hash gate. Register shuffle
+    volume is groups × blocks × 4 KiB — independent of row count."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import approx_distinct_grouped
+    from ..functions.util import arrow_out
+    from ..hashing import stable_hash_ints
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    est_ds = approx_distinct_grouped(ds, "user_id", "event_type", p=12)
+
+    n_parts = 16
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"], "u": b["user_id"]})
+        g = t.group_by(["event_type", "u"]).aggregate([])
+        h = stable_hash_ints(
+            g["u"].combine_chunks().to_numpy(zero_copy_only=False))
+        return g.append_column(
+            "_pid", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["event_type", "u"])
+        c = d.groupby("event_type", sort=False).size()
+        return pd.DataFrame({"event_type": c.index.to_numpy(),
+                             "p_cnt": c.to_numpy().astype(np.int64)})
+
+    exact_ds = (ds.map_batches(pair_partial, batch_format="pyarrow")
+                .groupby("_pid")
+                .map_groups(arrow_out(per_part), batch_format="pandas")
+                .groupby("event_type")
+                .aggregate(Sum("p_cnt", alias_name="n_exact")))
+
+    # both results are group-count-sized — driver assembly is fine
+    est = _collect_table(est_ds, pa.table(
+        {"event_type": pa.array([], pa.string()),
+         "approx_distinct": pa.array([], pa.float64())})).to_pandas()
+    exact = _collect_table(exact_ds, pa.table(
+        {"event_type": pa.array([], pa.string()),
+         "n_exact": pa.array([], pa.int64())})).to_pandas()
+    m = exact.merge(est, on="event_type", how="left")
+    sigma = 1.04 / np.sqrt(4096)
+    ok = (np.abs(m["approx_distinct"].to_numpy()
+                 - m["n_exact"].to_numpy())
+          <= 4.0 * sigma * m["n_exact"].to_numpy())
+    return pa.table({
+        "event_type": pa.array(m["event_type"], type=pa.string()),
+        "n_exact": pa.array(m["n_exact"].to_numpy(), type=pa.int64()),
+        "hll_ok": pa.array(ok.astype(np.int64), type=pa.int64()),
+    })
+
+
+@q("unpivot_lineitem", """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+       CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+""")
+def unpivot_lineitem(sf_dir: str):
+    """UNPIVOT / melt: wide numeric columns to (metric, val) rows in ONE
+    pure map (3× row expansion inside the batch, no shuffle, values pass
+    through unchanged — float-exact). The inverse of pivot_events."""
+    cols = ["quantity", "extendedprice", "discount"]
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "l_orderkey": pa.concat_arrays(
+                [b["l_orderkey"].combine_chunks()] * 3),
+            "l_linenumber": pa.concat_arrays(
+                [b["l_linenumber"].combine_chunks()] * 3),
+            "metric": pa.array(np.repeat(cols, n), type=pa.string()),
+            "val": pa.concat_arrays(
+                [pc.cast(b[f"l_{c}"].combine_chunks(), pa.float64())
+                 for c in cols]),
+        })
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice", "l_discount"]).map_batches(
+        melt, batch_format="pyarrow")
+
+
+@q("priority_spend_share", """
+WITH s AS (
+  SELECT o_orderpriority,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, CAST(cents AS BIGINT) AS cents,
+       floor(CAST(cents AS DOUBLE) / (SELECT sum(cents) FROM s)
+             * 1000000 + 0.5) / 1000000 AS share
+FROM s
+""")
+def priority_spend_share(sf_dir: str):
+    """Percent-of-total (ratio_to_report window): grouped integer-cents
+    sums (two-phase partials), then the share is ONE IEEE division of
+    exact integers on the group-count-sized result — bit-identical to the
+    SQL, no float accumulation anywhere."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "c": _cents(b["o_totalprice"])})
+        g = t.group_by(["o_orderpriority"]).aggregate([("c", "sum")])
+        return g.rename_columns(["o_orderpriority", "p_c"])
+
+    grouped = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("o_orderpriority")
+               .aggregate(Sum("p_c", alias_name="cents")))
+    t = _collect_table(grouped, pa.table(
+        {"o_orderpriority": pa.array([], pa.string()),
+         "cents": pa.array([], pa.int64())}))
+    cents = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(cents.sum())
+    share = np.floor(cents / float(total) * 1000000 + 0.5) / 1000000
+    return pa.table({"o_orderpriority": t["o_orderpriority"],
+                     "cents": pa.array(cents, type=pa.int64()),
+                     "share": pa.array(share, type=pa.float64())})
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).
-    # -- never driver-verified (new in round 4: window frames + edge
-    #    cases; tie-aware ranks, lead, RANGE frame, grouped top-k, arg-max,
-    #    CASE family, set ops, cross join, GROUPING SETS, median/mode)
+    # -- never driver-verified (new in round 4; 21 of the 26 new entries
+    #    — the five deferred to round 5 (tumbling_15min,
+    #    union_distinct_keys, region_nation_cross, case_funcs,
+    #    cust_orders_left) share kernels/paths with driver-green family
+    #    members and pass the identical local sf0.01 hash gate)
     "orders_moving_avg", "orders_ntile", "orders_edge_values",
     "orders_value_rank", "events_lead_delta", "orders_range_30d",
-    "top3_orders_per_cust", "cust_best_order", "case_funcs",
-    "union_distinct_keys", "region_nation_cross", "grouping_sets_counts",
+    "top3_orders_per_cust", "cust_best_order", "grouping_sets_counts",
     "qty_median_mode_by_flag",
-    # -- never driver-verified (new in round 4, batch 2: grouped linear
-    #    regression, sub-hour windows, bool/FILTER aggs, custom
-    #    AggregateFn XOR, TF-IDF term scoring)
-    "grouped_regr", "tumbling_15min", "flag_bool_aggs", "bitxor_orders",
-    "tfidf_terms",
-    # -- never driver-verified (new in round 4, batch 3: LLM-curation
-    #    text ops — repetition quality, RE2 redaction, contamination)
+    "grouped_regr", "flag_bool_aggs", "bitxor_orders", "tfidf_terms",
     "repetition_ratio", "redact_terms", "contamination_check",
+    "region_nation_outer", "approx_users_by_type", "unpivot_lineitem",
+    "priority_spend_share",
     # -- last green driver row in ROUND 1 (2 rounds stale -- mandatory)
     "sliding_3h", "knn_ivf", "pivot_events",
     # -- last green driver row in ROUND 2 (would go 2 rounds stale if
@@ -2567,20 +2748,12 @@ _DRIVER_PRIORITY = [
     "fingerprint", "decode_preview", "orders_by_nation",
     # -- implementation changed in round 4: quantile-sketch oracle,
     #    Arrow-native as-of, pairs-as-Dataset curate chain, arrow_out
-    #    group outputs (window/dedup/join families), metadata-free reads
-    #    (flagship core)
-    # (r3-verified changed-impl entries orders_rank/events_lag_delta/
-    #  orders_cumspend/dedup_minhash_tokens/dedup_simhash/dedup_embed/
-    #  dedup_sequences/lineitem_parts/parse_grok/enrich_docs yield their
-    #  slots to the new queries above; the sf0.01 DuckDB hash gate covers
-    #  them this round and they rotate back in round 5)
-    # (orders_concat/session_counts/latest_order/dedup_components/
-    #  orders_customers yield to the batch-2 queries, and
-    #  event_last_order/dedup_minhash/dedup_docs to batch 3 — all
-    #  r3-green; event_last_order shares the Arrow-native as-of path
-    #  asof_orders exercises, the dedup family's r4 changes are covered
-    #  by dedup_near_apply+llm_curate, and everything is gated locally
-    #  at sf0.01 this round and rotates back in round 5)
+    #    group outputs, metadata-free reads (flagship core). The other
+    #    r3-green changed-impl entries (event_last_order, dedup_minhash,
+    #    dedup_docs, dedup_components, orders_customers, orders_concat,
+    #    session_counts, latest_order, ...) yield their slots to the new
+    #    queries above; the sf0.01 DuckDB hash gate covers them this
+    #    round and they rotate back in round 5.
     "value_quantiles_approx", "asof_orders",
     "dedup_near_apply", "llm_curate", "per_sink_counts",
 ]
