@@ -185,3 +185,75 @@ def approx_distinct_grouped(ds: rd.Dataset, col: str, by: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(by).map_groups(arrow_out(merge),
                                     batch_format="pandas"))
+
+
+def heavy_hitters(items: rd.Dataset, col: str, k: int = 64) -> rd.Dataset:
+    """Distributed Misra–Gries heavy hitters with EXACT output counts.
+
+    Pass 1 (sketch): each block computes exact local counts (Arrow
+    group_by), then compresses to ≤ k counters by subtracting the
+    (k+1)-largest local count — the classic MG guarantee per block:
+    est_b(x) ≥ freq_b(x) − n_b/(k+1). Any item with global frequency
+    > n/(k+1) therefore survives in AT LEAST ONE block summary (if it
+    were absent from all, freq(x) = Σ freq_b(x) ≤ Σ n_b/(k+1) = n/(k+1)),
+    so the union of block summaries — ≤ k·blocks thin rows, never the
+    corpus — is a sound candidate superset.
+
+    Pass 2 (exact): the distinct candidate set is broadcast via one
+    ``ray.put`` and every block counts ONLY candidate items plus its block
+    total; a tiny groupby-Sum yields exact candidate counts and n. The
+    final filter ``cnt·(k+1) > n`` (integer arithmetic, no float
+    threshold) returns exactly SQL's ``HAVING count(*)·(k+1) > n`` —
+    hash-exact against the oracle. Both passes stream; shuffles touch
+    only sketch-sized data. Returns a Dataset of (col, cnt)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        g = pa.table({col: c}).group_by([col]).aggregate([([], "count_all")])
+        cnt = g.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cnt) > k:
+            # subtract the (k+1)-largest count; keep strictly positive
+            kth = np.partition(cnt, len(cnt) - (k + 1))[len(cnt) - (k + 1)]
+            keep = cnt > kth
+            g = g.filter(pa.array(keep))
+        return pa.table({col: g[col]})
+
+    from .util import collect_table
+    cand = pa.array(
+        items.map_batches(mg_partial, batch_format="pyarrow").unique(col))
+    cand_ref = ray.put(cand)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        mask = pc.is_in(c, value_set=ray.get(cand_ref))
+        g = (pa.table({col: c.filter(mask)})
+             .group_by([col]).aggregate([([], "count_all")]))
+        out = g.rename_columns([col, "p_cnt"])
+        # block total rides along under a reserved key (never a real item:
+        # it carries the only negative-sentinel marker column)
+        return pa.table({
+            col: pa.concat_arrays([out[col].combine_chunks(),
+                                   pa.array(["\x00__total__"])]),
+            "p_cnt": pa.concat_arrays(
+                [pc.cast(out["p_cnt"], pa.int64()).combine_chunks(),
+                 pa.array([batch.num_rows], type=pa.int64())]),
+        })
+
+    summed = (items.map_batches(exact_partial, batch_format="pyarrow")
+              .groupby(col).aggregate(Sum("p_cnt", alias_name="cnt")))
+    tbl = collect_table(summed)  # candidates + 1 sentinel — sketch-sized
+    words = tbl[col].to_pylist()
+    cnts = tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(cnts[words.index("\x00__total__")])
+    keep = np.array([w != "\x00__total__" and int(c) * (k + 1) > n
+                     for w, c in zip(words, cnts)], dtype=bool)
+    out = pa.table({col: pa.array([w for w, m in zip(words, keep) if m],
+                                  type=pa.string()),
+                    "cnt": pa.array(cnts[keep], type=pa.int64())})
+    return rd.from_arrow(out)

@@ -2721,14 +2721,39 @@ def priority_spend_share(sf_dir: str):
                      "share": pa.array(share, type=pa.float64())})
 
 
+@q("heavy_words", """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM w GROUP BY word
+HAVING count(*) * 65 > (SELECT count(*) FROM w)
+""")
+def heavy_words(sf_dir: str):
+    """Heavy hitters (frequency > n/(k+1), k=64) via a distributed
+    Misra–Gries sketch with an EXACT second pass — output counts are
+    exact, so the oracle is a plain HAVING clause in integer arithmetic
+    (functions/sketch.py heavy_hitters documents the union-of-block-
+    summaries soundness argument). Both passes stream the corpus; only
+    sketch-sized data shuffles or reaches the driver."""
+    from ..functions.sketch import heavy_hitters
+    from ..functions.text import _split_words
+
+    def explode(b: pa.Table) -> pa.Table:
+        return pa.table({"word": _split_words(b["text"]).flatten()})
+
+    words = _read(sf_dir, "documents", ["text"]).map_batches(
+        explode, batch_format="pyarrow")
+    return heavy_hitters(words, "word", k=64)
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).
-    # -- never driver-verified (new in round 4; 21 of the 26 new entries
-    #    — the five deferred to round 5 (tumbling_15min,
+    # -- never driver-verified (new in round 4; 21 of the 27 new entries
+    #    — the six deferred to round 5 (tumbling_15min,
     #    union_distinct_keys, region_nation_cross, case_funcs,
-    #    cust_orders_left) share kernels/paths with driver-green family
-    #    members and pass the identical local sf0.01 hash gate)
+    #    cust_orders_left, heavy_words) share kernels/paths with
+    #    driver-green family members or have exact pytest ground-truth
+    #    oracles, and pass the identical local sf0.01 hash gate)
     "orders_moving_avg", "orders_ntile", "orders_edge_values",
     "orders_value_rank", "events_lead_delta", "orders_range_30d",
     "top3_orders_per_cust", "cust_best_order", "grouping_sets_counts",

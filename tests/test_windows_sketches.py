@@ -418,3 +418,49 @@ def test_lead_diff_matches_shift():
     want = want.round().astype(np.int64)
     got = out.set_index("id")["next_us"].loc[ref["id"]]
     assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_heavy_hitters_exact_vs_ground_truth():
+    """MG compression path engaged: vocab (500) >> k (8), many blocks.
+    Output must be EXACTLY the items with freq*(k+1) > n and their exact
+    counts — the sketch only bounds the candidate pass."""
+    from blog_parser_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # Zipf-ish: a few planted heavy items over a 500-item tail
+    tail = rng.integers(0, 500, 30_000)
+    heavy = np.repeat(np.array([1001, 1002, 1003]), [9000, 7000, 5000])
+    vals = np.concatenate([tail, heavy])
+    rng.shuffle(vals)
+    words = np.char.add("w", vals.astype(str))
+    ds = rd.from_arrow(pa.table({"word": pa.array(words.tolist())}))
+    out = heavy_hitters(ds.repartition(16), "word", k=8).to_pandas()
+
+    n = len(words)
+    uniq, cnt = np.unique(words, return_counts=True)
+    want = {w: int(c) for w, c in zip(uniq, cnt) if c * 9 > n}
+    got = dict(zip(out["word"], out["cnt"]))
+    assert got == want
+
+
+def test_approx_distinct_grouped_bound():
+    """Grouped HLL estimate within 4 sigma of exact per group."""
+    from blog_parser_ray.functions.sketch import approx_distinct_grouped
+
+    rng = np.random.default_rng(11)
+    n = 40_000
+    grp = np.array(["g0", "g1", "g2"])[rng.integers(0, 3, n)]
+    # distinct cardinality differs by group
+    ids = rng.integers(0, 5000, n) + np.where(grp == "g1", 100_000, 0) \
+        + np.where(grp == "g2", 200_000, 0)
+    ds = rd.from_arrow(pa.table({"g": pa.array(grp.tolist()),
+                                 "u": pa.array(ids, type=pa.int64())}))
+    out = approx_distinct_grouped(ds.repartition(8), "u", "g",
+                                  p=12).to_pandas()
+    import pandas as pd
+    df = pd.DataFrame({"g": grp, "u": ids})
+    exact = df.groupby("g")["u"].nunique()
+    sigma = 1.04 / np.sqrt(4096)
+    for _, row in out.iterrows():
+        e = exact[row["g"]]
+        assert abs(row["approx_distinct"] - e) <= 4 * sigma * e, row
