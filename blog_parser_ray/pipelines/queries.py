@@ -2745,6 +2745,53 @@ def heavy_words(sf_dir: str):
     return heavy_hitters(words, "word", k=64)
 
 
+@q("daily_gapfill", """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt
+  FROM events GROUP BY 1),
+spine AS (
+  SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                (SELECT max(day) FROM d),
+                                INTERVAL 1 DAY)) AS day)
+SELECT spine.day, CAST(coalesce(d.cnt, 0) AS BIGINT) AS cnt
+FROM spine LEFT JOIN d USING (day)
+""")
+def daily_gapfill(sf_dir: str):
+    """Gap-filled time series: daily counts left-joined onto a dense day
+    spine with zero-fill (the dashboard/training-curve staple). The
+    corpus-scale pass is the same two-phase tumbling count as
+    tumbling_daily; the spine fill runs on the DATE-RANGE-sized result
+    (driver-side by design — a century is 36.5k rows)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": pc.floor_temporal(b["ts"], unit="day")})
+        g = t.group_by(["day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "p_cnt"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("day").aggregate(Sum("p_cnt", alias_name="cnt")))
+    t = _collect_table(counts, pa.table(
+        {"day": pa.array([], pa.timestamp("us")),
+         "cnt": pa.array([], pa.int64())}))
+    days = t["day"].to_numpy()
+    cnts = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(days) == 0:
+        return pa.table({"day": pa.array([], pa.timestamp("us")),
+                         "cnt": pa.array([], pa.int64())})
+    d = days.astype("datetime64[D]")
+    spine = np.arange(d.min(), d.max() + np.timedelta64(1, "D"),
+                      np.timedelta64(1, "D"))
+    filled = np.zeros(len(spine), dtype=np.int64)
+    filled[(d - d.min()).astype(np.int64)] = cnts
+    return pa.table({
+        "day": pa.array(spine.astype("datetime64[us]")),
+        "cnt": pa.array(filled, type=pa.int64()),
+    })
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).

@@ -464,3 +464,26 @@ def test_approx_distinct_grouped_bound():
     for _, row in out.iterrows():
         e = exact[row["g"]]
         assert abs(row["approx_distinct"] - e) <= 4 * sigma * e, row
+
+
+def test_daily_gapfill_fills_zeros(tmp_path):
+    """Plant missing days; the spine must carry cnt=0 rows for them."""
+    import pyarrow.parquet as pq
+
+    from blog_parser_ray.pipelines.queries import QUERIES
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-05"]  # gap: 03, 04
+    ts = pa.array(np.array(
+        [np.datetime64(f"{d}T12:00:00") for d in days for _ in range(3)],
+        dtype="datetime64[us]"))
+    t = pa.table({"event_id": pa.array(np.arange(9), type=pa.int64()),
+                  "ts": ts,
+                  "user_id": pa.array(np.zeros(9), type=pa.float64()),
+                  "event_type": pa.array(["x"] * 9),
+                  "value": pa.array(np.ones(9)),
+                  "props": pa.array(["{}"] * 9)})
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = QUERIES["daily_gapfill"](str(tmp_path)).to_pandas()
+    out = out.sort_values("day").reset_index(drop=True)
+    assert len(out) == 5
+    assert out["cnt"].tolist() == [3, 3, 0, 0, 3]
