@@ -2792,6 +2792,34 @@ def daily_gapfill(sf_dir: str):
     })
 
 
+@q("qty_quantiles_cont", """
+WITH s AS (
+  SELECT l_quantity AS v,
+         row_number() OVER (ORDER BY l_quantity) - 1 AS r
+  FROM lineitem WHERE l_quantity IS NOT NULL),
+t AS (SELECT count(*) AS n FROM s),
+qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS q(q)),
+p AS (SELECT q, CAST(floor((n - 1) * q) AS BIGINT) AS lo,
+             CAST(ceil((n - 1) * q) AS BIGINT) AS hi,
+             (n - 1) * q - floor((n - 1) * q) AS frac
+      FROM qs CROSS JOIN t)
+SELECT p.q, lo_s.v AS v_lo, hi_s.v AS v_hi,
+       CAST(floor(frac * 1000000 + 0.5) AS BIGINT) AS frac_e6
+FROM p JOIN s lo_s ON lo_s.r = p.lo JOIN s hi_s ON hi_s.r = p.hi
+""")
+def qty_quantiles_cont(sf_dir: str):
+    """Interpolated quantiles (SQL quantile_cont) decomposed into exact
+    parts — bounding rank values + integer interpolation fraction — so
+    the hash compare is exact with no engine-private interpolation
+    formula in the loop (stages/agg.py exact_quantile_cont_parts; the
+    oracle reconstructs the same ranks with row_number)."""
+    from ..stages.agg import exact_quantile_cont_parts
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+    return exact_quantile_cont_parts(ds, "l_quantity",
+                                     [0.25, 0.5, 0.75, 0.95])
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).

@@ -269,6 +269,53 @@ def exact_quantiles_bounded(ds: rd.Dataset, col: str, qs: list[float],
             for k, g in counts.groupby(keys)}
 
 
+def exact_quantile_cont_parts(ds: rd.Dataset, col: str,
+                              qs: list[float]) -> pa.Table:
+    """Interpolated-quantile (SQL ``quantile_cont``) DECOMPOSED into its
+    exact parts: for each q, the two bounding domain values at integer
+    ranks ``floor((n-1)q)`` / ``ceil((n-1)q)`` plus the interpolation
+    fraction as a rounded integer. Emitting (v_lo, v_hi, frac_e6) instead
+    of the interpolated float keeps the oracle comparison EXACT — the only
+    float ops ((n-1)·q, frac·1e6 rounding) are the identical IEEE
+    expressions the SQL side runs, with no engine-private interpolation
+    formula in between. Same count-CDF plan as ``exact_quantiles_bounded``
+    (bounded discrete domain; shuffle moves value-count rows only)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (batch.select([col]).group_by([col])
+                .aggregate([([], "count_all")])
+                .rename_columns([col, "partial_rows"]))
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(col)
+              .aggregate(Sum("partial_rows", alias_name="cnt"))
+              .to_pandas())
+    counts = counts[counts[col].notna()].sort_values(col)
+    if counts.empty:
+        raise ValueError(f"exact_quantile_cont_parts: no non-null "
+                         f"values in {col!r}")
+    values = counts[col].to_numpy()
+    cum = counts["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+
+    def at_rank(r: int) -> float:
+        return float(values[np.searchsorted(cum, r + 1)])
+
+    rows = []
+    for q in qs:
+        pos = (n - 1) * q
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        frac = pos - np.floor(pos)
+        rows.append((q, at_rank(lo), at_rank(hi),
+                     int(np.floor(frac * 1000000 + 0.5))))
+    return pa.table({
+        "q": pa.array([r[0] for r in rows], type=pa.float64()),
+        "v_lo": pa.array([r[1] for r in rows], type=pa.float64()),
+        "v_hi": pa.array([r[2] for r in rows], type=pa.float64()),
+        "frac_e6": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # O1–O3: sort / limit / top-k
 # ---------------------------------------------------------------------------
