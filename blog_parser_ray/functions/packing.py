@@ -165,3 +165,44 @@ def mixture_sample(ds: rd.Dataset, weights: dict[str, float],
         return batch.filter(pa.array(h < cuts))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_sample(ds: rd.Dataset, k: int, id_col: str = "doc_id",
+                    weight_col: str = "n_chars",
+                    salt: str = "wsample-v1") -> rd.Dataset:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws a uniform u from a salted
+    stable hash of its id and gets key = ln(u)/w — the classic
+    u^(1/w) rank order in a monotone, overflow-free form — and the sample
+    is the global top-k by key. Inclusion probability ∝ weight;
+    deterministic across runs, cluster sizes and input order (same salted
+    hash ⇒ same u). Distributed shape: per-block top-k combiner (only
+    k·blocks thin rows reach the final sort+limit — the corpus never
+    shuffles). Rows with null/non-positive weight are excluded (they can
+    never be sampled under the weighting semantics)."""
+    import pyarrow.compute as pc
+
+    def tag(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        wnp = w.to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(wnp) & (wnp > 0)
+        b = batch.filter(pa.array(ok)) if not ok.all() else batch
+        wnp = wnp[ok]
+        h = _salted_mod_hash(b[id_col], salt, 1 << 53).astype(np.uint64)
+        # u in (0, 1]: (h+1) * 2^-53 — never 0, so ln(u) is finite
+        u = (h + np.uint64(1)).astype(np.float64) * (2.0 ** -53)
+        key = np.log(u) / wnp
+        t = b.select([id_col, weight_col]).append_column(
+            "_wkey", pa.array(key, type=pa.float64()))
+        if t.num_rows > k:  # per-block combiner: keep the local top-k
+            idx = np.argpartition(-key, k)[:k]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    from ..stages.agg import top_k
+    out = top_k(ds.map_batches(tag, batch_format="pyarrow"),
+                "_wkey", k, tiebreak=id_col)
+    return out.map_batches(lambda b: b.drop_columns(["_wkey"]),
+                           batch_format="pyarrow")

@@ -2820,6 +2820,19 @@ def qty_quantiles_cont(sf_dir: str):
                                      [0.25, 0.5, 0.75, 0.95])
 
 
+@q("weighted_sample_docs")  # rows-only: hash-seeded draw, no SQL oracle
+def weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-ES:
+    inclusion probability ∝ n_chars) — the quality-weighted corpus
+    subsetting op. No SQL oracle (the uniform draws come from the salted
+    stable hash), but pytest pins exact equality against a single-process
+    numpy replay of the same keys (tests/test_windows_sketches.py)."""
+    from ..functions.packing import weighted_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, k=100, id_col="doc_id",
+                           weight_col="n_chars")
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).

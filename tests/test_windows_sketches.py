@@ -487,3 +487,30 @@ def test_daily_gapfill_fills_zeros(tmp_path):
     out = out.sort_values("day").reset_index(drop=True)
     assert len(out) == 5
     assert out["cnt"].tolist() == [3, 3, 0, 0, 3]
+
+
+def test_weighted_sample_matches_numpy_replay():
+    """Distributed A-ES sample == single-process replay of the same salted
+    keys (exact id-set equality), and heavier rows are sampled more."""
+    from blog_parser_ray.functions.packing import (_salted_mod_hash,
+                                                   weighted_sample)
+
+    rng = np.random.default_rng(3)
+    n, k = 5000, 200
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 1000, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+    out = weighted_sample(rd.from_arrow(t).repartition(8), k=k
+                          ).to_pandas()
+
+    h = _salted_mod_hash(t["doc_id"], "wsample-v1", 1 << 53
+                         ).astype(np.uint64)
+    u = (h + np.uint64(1)).astype(np.float64) * (2.0 ** -53)
+    key = np.log(u) / w.astype(np.float64)
+    order = np.lexsort((ids, -key))  # key DESC, id ASC — top_k tiebreak
+    want = set(ids[order[:k]].tolist())
+    assert set(out["doc_id"].tolist()) == want
+    assert len(out) == k
+    # weighting sanity: the sample is size-biased — for w ~ U[1,1000)
+    # the expected sample mean is E[w^2]/E[w] ≈ 1.34x the corpus mean
+    assert out["n_chars"].mean() > 1.25 * w.mean()
