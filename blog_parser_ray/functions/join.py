@@ -176,3 +176,50 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, *,
         return merged[all_cols]
 
     return both.groupby("_bucket").map_groups(arrow_out(per_bucket), batch_format="pandas")
+
+
+def equi_join_multi(left: rd.Dataset, right: rd.Dataset, *,
+                    left_on: list[str], right_on: list[str],
+                    num_partitions: int = 8, how: str = "inner",
+                    broadcast_limit: int = 1_000_000) -> rd.Dataset:
+    """Multi-key equi-join: fuse the key tuple into ONE exact composite
+    string column (values joined with a \\x00 separator — collision-free
+    for key values without NULs, which covers ints/dates/normal strings)
+    on both sides, delegate to ``equi_join``'s plan selection
+    (broadcast / native / bucketed), then drop the helper column. SQL
+    NULL-key semantics are preserved: a tuple with any null component
+    fuses to null, and every underlying plan refuses null⋈null matches.
+    The fused column adds one thin string per row — it shuffles in place
+    of (not in addition to) a multi-column key exchange."""
+    if len(left_on) != len(right_on) or not left_on:
+        raise ValueError("left_on/right_on must be equal-length, non-empty")
+
+    def fuse(cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            parts = []
+            for c in cols:
+                a = batch[c]
+                if isinstance(a, pa.ChunkedArray):
+                    a = a.combine_chunks()
+                parts.append(pc.cast(a, pa.string()))
+            fused = (parts[0] if len(parts) == 1 else
+                     pc.binary_join_element_wise(
+                         *parts, "\x00", null_handling="emit_null"))
+            return batch.append_column("_mkey", fused)
+        return fn
+
+    lf = left.map_batches(fuse(left_on), batch_format="pyarrow")
+    rf = right.map_batches(fuse(right_on), batch_format="pyarrow")
+    # the right fused key duplicates the left's after the join — rename so
+    # both can be dropped without clobbering real columns
+    rf = rf.map_batches(
+        lambda b: b.rename_columns(
+            [n if n != "_mkey" else "_mkey_r" for n in b.schema.names]),
+        batch_format="pyarrow")
+    j = equi_join(lf, rf, left_on="_mkey", right_on="_mkey_r",
+                  num_partitions=num_partitions, how=how,
+                  broadcast_limit=broadcast_limit)
+    return j.map_batches(
+        lambda b: b.drop_columns(
+            [c for c in ("_mkey", "_mkey_r") if c in b.schema.names]),
+        batch_format="pyarrow")

@@ -2833,6 +2833,42 @@ def weighted_sample_docs(sf_dir: str):
                            weight_col="n_chars")
 
 
+@q("last_lineitem", """
+WITH m AS (SELECT l_orderkey, max(l_linenumber) AS maxln
+           FROM lineitem GROUP BY 1)
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_returnflag
+FROM lineitem l
+JOIN m ON l.l_orderkey = m.l_orderkey AND l.l_linenumber = m.maxln
+""")
+def last_lineitem(sf_dir: str):
+    """MULTI-KEY equi-join (functions/join.py equi_join_multi): the
+    grouped-max side joins back on the (orderkey, linenumber) TUPLE,
+    fused into one exact composite key and run through equi_join's
+    measured plan selection (broadcast here — the max side is unique on
+    the fused key)."""
+    from ray.data.aggregate import Max
+
+    from ..functions.join import equi_join_multi
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (b.select(["l_orderkey", "l_linenumber"])
+             .group_by(["l_orderkey"]).aggregate([("l_linenumber", "max")]))
+        return g.rename_columns(["m_orderkey", "p_max"])
+
+    m = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("m_orderkey").aggregate(Max("p_max", alias_name="maxln")))
+    j = equi_join_multi(ds, m,
+                        left_on=["l_orderkey", "l_linenumber"],
+                        right_on=["m_orderkey", "maxln"])
+    return j.map_batches(
+        lambda b: b.select(["l_orderkey", "l_linenumber", "l_quantity",
+                            "l_returnflag"]),
+        batch_format="pyarrow")
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).

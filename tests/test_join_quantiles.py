@@ -156,3 +156,26 @@ def test_semi_join_bloom_matches_exact():
     expect = fact.filter(pc.is_in(fact["k"], value_set=keys["key"]
                                   .combine_chunks())).to_pandas()
     assert sorted(out["v"]) == sorted(expect["v"])
+
+
+def test_equi_join_multi_null_keys_and_shuffle_plan():
+    """A tuple with any null component must match nothing (SQL semantics),
+    on both the broadcast and the forced-shuffle plan."""
+    import pandas as pd
+
+    from blog_parser_ray.functions.join import equi_join_multi
+
+    l = pd.DataFrame({"a": [1, 1, 2, None], "b": ["x", "y", "x", "x"],
+                      "v": [10, 11, 12, 13]})
+    r = pd.DataFrame({"c": [1, 2, None], "d": ["x", "x", "x"],
+                      "w": [100, 200, 300]})
+    want = {(1, "x", 10, 100), (2, "x", 12, 200)}
+    for bl in (1_000_000, 0):  # broadcast plan, then forced shuffle plan
+        out = equi_join_multi(
+            rd.from_pandas(l).repartition(3),
+            rd.from_pandas(r).repartition(2),
+            left_on=["a", "b"], right_on=["c", "d"],
+            broadcast_limit=bl).to_pandas()
+        got = {(int(x.a), x.b, int(x.v), int(x.w))
+               for x in out.itertuples()}
+        assert got == want, (bl, out)
