@@ -78,6 +78,18 @@ def drain(result) -> int:
     return 0
 
 
+def _loadavg() -> list[float]:
+    """Host 1/5/15-min load averages — recorded in every result so each
+    sample carries its own external-tenant-load evidence (this shared VM
+    has documented load windows that move walls by 1.5x; see
+    BENCH/BASELINE.md)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [round(float(x), 2) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def run_once(num_cpus: int, sf_dir: str) -> dict:
     import ray
     from ray.data import DataContext
@@ -90,6 +102,7 @@ def run_once(num_cpus: int, sf_dir: str) -> dict:
     from blog_parser_ray.config import PipelineSpec
     from blog_parser_ray.runner import run as flagship_run
 
+    load_start = _loadavg()
     corpus = ensure_corpus()
     spec = PipelineSpec(target_partition_rows=50_000)
 
@@ -160,6 +173,8 @@ def run_once(num_cpus: int, sf_dir: str) -> dict:
         "rows_per_s": round(rows / wall, 1),
         "tokens": tokens,
         "tokens_per_s": round(tokens / wall, 1) if tokens else None,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
     }
 
 
