@@ -2869,6 +2869,136 @@ def last_lineitem(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("daily_active_users", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+FROM events GROUP BY 1
+""")
+def daily_active_users(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): the DAU staple, via
+    stages/agg.py distinct_count_by (per-batch unique pairs → one
+    pair-hash shuffle → partial counts → tiny Sum)."""
+    from ..stages.agg import distinct_count_by
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    days = ds.map_batches(
+        lambda b: pa.table({"day": pc.floor_temporal(b["ts"], unit="day"),
+                            "user_id": b["user_id"]}),
+        batch_format="pyarrow")
+    return distinct_count_by(days, ["day"], "user_id", alias="dau")
+
+
+@q("new_users_daily", """
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+           FROM events GROUP BY 1)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS new_users
+FROM f GROUP BY 1
+""")
+def new_users_daily(sf_dir: str):
+    """Cumulative-cohort entry curve: first-seen day per user (two-phase
+    Min over user-level rows) → count per day. Both shuffles move
+    user-level thin rows; the second input is already user-unique so the
+    count partial is exact."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "day": pc.floor_temporal(b["ts"], unit="day")})
+        g = t.group_by(["user_id"]).aggregate([("day", "min")])
+        return g.rename_columns(["user_id", "p_day"])
+
+    first = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("p_day", alias_name="day")))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["day"]).group_by(["day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "p_cnt"])
+
+    return (first.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("p_cnt",
+                                          alias_name="new_users")))
+
+
+@q("retention_next_day", """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            FROM events)
+SELECT CAST(a.day AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS retained
+FROM du a JOIN du b
+  ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+GROUP BY 1
+""")
+def retention_next_day(sf_dir: str):
+    """Day-over-day retention: users active on day d AND d+1 — the
+    distinct (day, user) pair set self-joined on the (user, day+1) TUPLE
+    via equi_join_multi, then a grouped count. All stages run on the
+    user×day-level pair set, never raw events."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import equi_join_multi
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": pc.floor_temporal(b["ts"], unit="day"),
+                      "user_id": b["user_id"]})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    # batch-local unique is NOT enough for the join (duplicate (day,user)
+    # copies would inflate the count) — dedup globally first, partitioned
+    # by user hash as in stages/agg.py distinct_count_by
+    import pandas as pd
+
+    from ..functions.util import arrow_out
+    from ..hashing import stable_hash_ints
+
+    def pid(b: pa.Table) -> pa.Table:
+        h = stable_hash_ints(
+            b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(b["user_id"], pa.ChunkedArray)
+            else b["user_id"].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "_pid", pa.array((h % np.uint64(16)).astype(np.int64)))
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["day", "user_id"])[
+            ["day", "user_id"]]
+
+    du = (ds.map_batches(pairs, batch_format="pyarrow")
+          .map_batches(pid, batch_format="pyarrow")
+          .groupby("_pid")
+          .map_groups(arrow_out(dedup_part), batch_format="pandas")
+          .materialize())  # both join sides read it
+
+    nxt = du.map_batches(
+        lambda b: pa.table({
+            "day": b["day"],
+            "nday": pc.add(b["day"].combine_chunks()
+                           if isinstance(b["day"], pa.ChunkedArray)
+                           else b["day"],
+                           pa.scalar(86_400_000_000, pa.duration("us"))),
+            "user_id": b["user_id"]}),
+        batch_format="pyarrow")
+
+    j = equi_join_multi(
+        nxt.map_batches(lambda b: b.select(["day", "nday", "user_id"]),
+                        batch_format="pyarrow"),
+        du.map_batches(lambda b: pa.table({"bday": b["day"],
+                                           "buser": b["user_id"]}),
+                       batch_format="pyarrow"),
+        left_on=["user_id", "nday"], right_on=["buser", "bday"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["day"]).group_by(["day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "p_cnt"])
+
+    return (j.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("p_cnt", alias_name="retained")))
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).

@@ -316,6 +316,48 @@ def exact_quantile_cont_parts(ds: rd.Dataset, col: str,
     })
 
 
+def distinct_count_by(ds: rd.Dataset, key_cols: list[str],
+                      distinct_col: str, alias: str = "n_distinct",
+                      n_parts: int = 16) -> rd.Dataset:
+    """Exact grouped COUNT(DISTINCT x): per-batch unique
+    (keys…, x) tuples (Arrow group_by), ONE pair-hash shuffle partitioned
+    by ``hash(x)`` — every copy of a (keys, x) tuple shares the partition,
+    so the per-partition drop_duplicates is a GLOBAL dedup — then partial
+    counts per key and a tiny final Sum. Shuffle volume = distinct-tuple
+    rows, never the input; driver sees only the group-count-sized result.
+    (The 100 TB caveat is a single pathologically hot x value; keys are
+    free to skew — they ride along, they don't partition.)"""
+    import pandas as pd
+
+    from ..functions.util import arrow_out
+    from ..hashing import stable_hash_ints, stable_hash_strings
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = (b.select(key_cols + [distinct_col])
+             .group_by(key_cols + [distinct_col]).aggregate([]))
+        c = g[distinct_col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if pa.types.is_integer(c.type):
+            h = stable_hash_ints(c.to_numpy(zero_copy_only=False))
+        else:
+            h = stable_hash_strings(pc.cast(c, pa.string()))
+        return g.append_column(
+            "_pid", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=key_cols + [distinct_col])
+        c = d.groupby(key_cols, sort=False).size().reset_index(name="p_cnt")
+        c["p_cnt"] = c["p_cnt"].astype(np.int64)
+        return c
+
+    return (ds.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("_pid")
+            .map_groups(arrow_out(per_part), batch_format="pandas")
+            .groupby(key_cols[0] if len(key_cols) == 1 else key_cols)
+            .aggregate(Sum("p_cnt", alias_name=alias)))
+
+
 # ---------------------------------------------------------------------------
 # O1–O3: sort / limit / top-k
 # ---------------------------------------------------------------------------
