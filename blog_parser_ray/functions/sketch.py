@@ -145,6 +145,16 @@ def approx_distinct_grouped(ds: rd.Dataset, col: str, by: str,
     m = 1 << p
 
     def partial(batch: pa.Table) -> pa.Table:
+        g = batch[by]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if g.null_count:
+            # a null dictionary code would silently alias another group's
+            # registers after the int cast — refuse loudly (mirrors
+            # lang_id's null policy; pre-filter nulls to opt out)
+            raise ValueError(
+                f"approx_distinct_grouped: null values in group column "
+                f"{by!r}")
         c = batch[col]
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
@@ -152,9 +162,6 @@ def approx_distinct_grouped(ds: rd.Dataset, col: str, by: str,
             h = stable_hash_ints(c.to_numpy())
         else:
             h = stable_hash_strings(c)
-        g = batch[by]
-        if isinstance(g, pa.ChunkedArray):
-            g = g.combine_chunks()
         enc = g.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         k = len(enc.dictionary)

@@ -333,8 +333,16 @@ def distinct_count_by(ds: rd.Dataset, key_cols: list[str],
     from ..hashing import stable_hash_ints, stable_hash_strings
 
     def pair_partial(b: pa.Table) -> pa.Table:
-        g = (b.select(key_cols + [distinct_col])
-             .group_by(key_cols + [distinct_col]).aggregate([]))
+        sub = b.select(key_cols + [distinct_col])
+        if sub[distinct_col].null_count:
+            # SQL COUNT(DISTINCT x) ignores null x — and a null would
+            # corrupt the int hash below (NaN→int is undefined), so drop
+            # explicitly rather than by accident
+            sub = sub.filter(pc.is_valid(
+                sub[distinct_col].combine_chunks()
+                if isinstance(sub[distinct_col], pa.ChunkedArray)
+                else sub[distinct_col]))
+        g = sub.group_by(key_cols + [distinct_col]).aggregate([])
         c = g[distinct_col]
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()

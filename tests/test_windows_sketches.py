@@ -514,3 +514,25 @@ def test_weighted_sample_matches_numpy_replay():
     # weighting sanity: the sample is size-biased — for w ~ U[1,1000)
     # the expected sample mean is E[w^2]/E[w] ≈ 1.34x the corpus mean
     assert out["n_chars"].mean() > 1.25 * w.mean()
+
+
+def test_distinct_count_by_ignores_null_values():
+    """SQL COUNT(DISTINCT x) semantics: null x rows don't count."""
+    from blog_parser_ray.stages.agg import distinct_count_by
+
+    t = pa.table({"k": pa.array(["a", "a", "a", "b", "b"]),
+                  "x": pa.array([1, 1, None, 2, None], type=pa.int64())})
+    out = (distinct_count_by(rd.from_arrow(t).repartition(2), ["k"], "x")
+           .to_pandas().set_index("k")["n_distinct"])
+    assert out["a"] == 1 and out["b"] == 1
+
+
+def test_approx_distinct_grouped_rejects_null_groups():
+    import pytest as _pytest
+
+    from blog_parser_ray.functions.sketch import approx_distinct_grouped
+
+    t = pa.table({"g": pa.array(["a", None]),
+                  "u": pa.array([1, 2], type=pa.int64())})
+    with _pytest.raises(Exception, match="null values in group column"):
+        approx_distinct_grouped(rd.from_arrow(t), "u", "g").materialize()
