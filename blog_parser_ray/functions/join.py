@@ -223,3 +223,82 @@ def equi_join_multi(left: rd.Dataset, right: rd.Dataset, *,
         lambda b: b.drop_columns(
             [c for c in ("_mkey", "_mkey_r") if c in b.schema.names]),
         batch_format="pyarrow")
+
+
+def skew_join(left: rd.Dataset, right: rd.Dataset, *, left_on: str,
+              right_on: str, num_partitions: int = 8,
+              hot_k: int = 32) -> rd.Dataset:
+    """Skew-aware INNER equi-join for a hot-key-dominated probe side.
+
+    A partitioned hash join sends every row of a hot key to ONE partition
+    — a single key holding 50% of a 100 TB fact table serializes half the
+    join on one worker. Plan:
+
+    1. Detect hot LEFT keys with the Misra–Gries sketch
+       (functions/sketch.py heavy_hitters — guaranteed superset of keys
+       with frequency > n/(hot_k+1); two streaming passes over the thin
+       key column, sketch-sized shuffles only).
+    2. HOT rows: the right-side rows for ≤ hot_k keys are dim-sized by
+       construction — collect once, broadcast via ``ray.put``, and join
+       each hot left batch against them with a local vectorized merge
+       (duplicate right keys fan out correctly; no shuffle, perfectly
+       parallel over left blocks).
+    3. COLD rows: normal partitioned plan (``equi_join``) — skew-free by
+       construction.
+    4. Union (identical column layout on both paths).
+
+    Inner join only: split-path outer semantics (unmatched-row bookkeeping
+    across two plans) is not worth the surface until a caller needs it."""
+    l_cols = left.schema().names
+    r_cols = right.schema().names
+    overlap = (set(l_cols) & set(r_cols)) - {left_on}
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    # the right key column duplicates the left's in an inner join AND its
+    # survival differs between equi_join's plans — exclude it so both the
+    # hot and cold path emit one well-defined layout
+    out_cols = l_cols + [c for c in r_cols
+                         if c not in l_cols and c != right_on]
+
+    from .sketch_bridge import heavy_keys
+    hot = heavy_keys(left, left_on, k=hot_k)
+    if len(hot) == 0:
+        return equi_join(left, right, left_on=left_on, right_on=right_on,
+                         num_partitions=num_partitions, how="inner")
+    hot_ref = ray.put(hot)
+
+    def split(keep_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = batch[left_on]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            mask = pc.is_in(c, value_set=ray.get(hot_ref))
+            return batch.filter(mask if keep_hot else pc.invert(mask))
+        return fn
+
+    # right rows for the hot keys: dim-sized by contract — one collect
+    from .util import collect_table
+    rh = right.map_batches(
+        lambda b: b.filter(pc.is_in(
+            b[right_on].combine_chunks()
+            if isinstance(b[right_on], pa.ChunkedArray) else b[right_on],
+            value_set=ray.get(hot_ref))),
+        batch_format="pyarrow")
+    rh_df = collect_table(rh).to_pandas()
+    rh_ref = ray.put(rh_df)
+
+    def hot_merge(batch: pa.Table) -> pd.DataFrame:
+        lg = batch.to_pandas()
+        merged = lg.merge(ray.get(rh_ref), left_on=left_on,
+                          right_on=right_on, how="inner",
+                          suffixes=("", "_r"))
+        return merged[out_cols]
+
+    hot_out = (left.map_batches(split(True), batch_format="pyarrow")
+               .map_batches(arrow_out(hot_merge), batch_format="pyarrow"))
+    cold_out = equi_join(
+        left.map_batches(split(False), batch_format="pyarrow"),
+        right, left_on=left_on, right_on=right_on,
+        num_partitions=num_partitions, how="inner").map_batches(
+        lambda b: b.select(out_cols), batch_format="pyarrow")
+    return hot_out.union(cold_out)

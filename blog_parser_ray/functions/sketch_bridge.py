@@ -1,0 +1,33 @@
+"""Thin bridge: heavy-key detection for the skew-aware join (kept out of
+sketch.py so join.py's import graph stays acyclic — sketch.py imports
+nothing from join)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def heavy_keys(ds: rd.Dataset, col: str, k: int = 32) -> pa.Array:
+    """Keys with frequency > n/(k+1), as an Arrow array (≤ k values, in
+    the column's ORIGINAL type) — the exact-counted Misra–Gries output of
+    functions/sketch.py heavy_hitters. Non-string keys round-trip through
+    a string cast (heavy_hitters' total-row sentinel lives in the string
+    domain); int↔string casting is exact, and the ≤ k hot values cast
+    back losslessly."""
+    import pyarrow.compute as pc
+
+    from .sketch import heavy_hitters
+
+    orig_type = dict(zip(ds.schema().names, ds.schema().types))[col]
+
+    def as_str(b: pa.Table) -> pa.Table:
+        c = b[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.table({col: pc.cast(c, pa.string())})
+
+    out = heavy_hitters(ds.map_batches(as_str, batch_format="pyarrow"),
+                        col, k=k).to_pandas()
+    return pc.cast(pa.array(out[col].tolist(), type=pa.string()),
+                   orig_type)

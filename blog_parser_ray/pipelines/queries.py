@@ -2999,6 +2999,49 @@ def retention_next_day(sf_dir: str):
             .groupby("day").aggregate(Sum("p_cnt", alias_name="retained")))
 
 
+@q("docs_by_source_skewsafe", """
+WITH dim AS (SELECT source,
+                    row_number() OVER (ORDER BY source) AS source_id
+             FROM (SELECT DISTINCT source FROM documents))
+SELECT d.source_id, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(doc.n_chars) AS BIGINT) AS chars
+FROM documents doc JOIN dim d USING (source)
+GROUP BY 1
+""")
+def docs_by_source_skewsafe(sf_dir: str):
+    """SKEW-AWARE join on the Zipf-skewed source column
+    (functions/join.py skew_join): Misra–Gries detects the hot sources
+    (the top source holds ~30% of the corpus — far over the n/(k+1)
+    threshold), their dim rows broadcast and join shuffle-free per block,
+    and only the cold tail takes the partitioned plan. Oracle = the same
+    join/aggregate in SQL, so plan-splitting bugs (dropped/duplicated hot
+    rows) fail the hash gate."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import skew_join
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    sources = sorted(docs.unique("source"))
+    dim = rd.from_arrow(pa.table({
+        "source": pa.array(sources, type=pa.string()),
+        "source_id": pa.array(np.arange(1, len(sources) + 1),
+                              type=pa.int64())}))
+    j = skew_join(docs, dim, left_on="source", right_on="source",
+                  hot_k=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source_id": b["source_id"],
+                      "n_chars": b["n_chars"]})
+        g = t.group_by(["source_id"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")])
+        return g.rename_columns(["source_id", "p_cnt", "p_chars"])
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("source_id")
+            .aggregate(Sum("p_cnt", alias_name="cnt"),
+                       Sum("p_chars", alias_name="chars")))
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).

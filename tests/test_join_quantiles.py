@@ -179,3 +179,36 @@ def test_equi_join_multi_null_keys_and_shuffle_plan():
         got = {(int(x.a), x.b, int(x.v), int(x.w))
                for x in out.itertuples()}
         assert got == want, (bl, out)
+
+
+def test_skew_join_matches_plain_join_under_skew():
+    """90%-one-key probe side, duplicate build keys: skew_join output must
+    equal the plain shuffle join as a multiset."""
+    import pandas as pd
+
+    from blog_parser_ray.functions.join import equi_join, skew_join
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    keys = np.where(rng.random(n) < 0.9, 7,
+                    rng.integers(0, 500, n)).astype(np.int64)
+    left = pa.table({"k": pa.array(keys),
+                     "v": pa.array(np.arange(n, dtype=np.int64))})
+    # duplicate right keys: 2 rows per key → hot fan-out must double
+    rk = np.repeat(np.arange(0, 500, dtype=np.int64), 2)
+    right = pa.table({"rk": pa.array(rk),
+                      "w": pa.array(np.arange(len(rk), dtype=np.int64))})
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["k", "v", "w"]).reset_index(
+            drop=True)
+        return df[["k", "v", "w"]]
+
+    got = norm(skew_join(rd.from_arrow(left).repartition(8),
+                         rd.from_arrow(right).repartition(2),
+                         left_on="k", right_on="rk", hot_k=16))
+    want = norm(equi_join(rd.from_arrow(left).repartition(8),
+                          rd.from_arrow(right).repartition(2),
+                          left_on="k", right_on="rk",
+                          broadcast_limit=0))
+    pd.testing.assert_frame_equal(got, want)
