@@ -230,8 +230,15 @@ def heavy_hitters(items: rd.Dataset, col: str, k: int = 64) -> rd.Dataset:
         return pa.table({col: g[col]})
 
     from .util import collect_table
-    cand = pa.array(
-        items.map_batches(mg_partial, batch_format="pyarrow").unique(col))
+    cand_list = (items.map_batches(mg_partial, batch_format="pyarrow")
+                 .unique(col))
+    # typed even when empty — Dataset.unique yields None entries /
+    # a null-typed array on empty input, which would poison the is_in
+    cand = pa.array([c for c in (cand_list or []) if c is not None],
+                    type=pa.string())
+    if len(cand) == 0:
+        return rd.from_arrow(pa.table({col: pa.array([], pa.string()),
+                                       "cnt": pa.array([], pa.int64())}))
     cand_ref = ray.put(cand)
 
     def exact_partial(batch: pa.Table) -> pa.Table:
