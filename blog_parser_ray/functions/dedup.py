@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
 from ..hashing import stable_hash_ints, stable_hash_strings
 from .util import arrow_out
@@ -1524,3 +1524,115 @@ def minhash_dedup_pairs_tokens(ds: rd.Dataset, threshold: float = 0.7,
     return _collect_pairs_sorted(
         minhash_dedup_pairs_tokens_ds(ds, threshold, num_perm, bands, k,
                                       pairs_broadcast_limit), empty)
+
+
+def dedup_incremental(new_ds: rd.Dataset, seen_ds: rd.Dataset,
+                      content_col: str = "text", key_col: str = "doc_id",
+                      broadcast_limit: int = 5_000_000) -> rd.Dataset:
+    """Incremental (delta) exact dedup — the daily-crawl-increment op:
+    survivors of the NEW shard are rows that are (a) the min-``key_col``
+    winner within the shard (``exact_dedup``) and (b) whose content
+    fingerprint is ABSENT from the SEEN corpus. ``content_col`` may be
+    full text or any canonical key (URL, source:lang, simhash bucket…).
+
+    The seen side reduces to its distinct 2×64-bit fingerprint pairs —
+    thin regardless of corpus size. Plans by fingerprint count:
+    BROADCAST (≤ limit): one ray.put of the 16-byte-per-row fingerprint
+    set, each new batch filtered via a vectorized big-endian-byte
+    ``np.isin`` (EXACT pair membership — no 64-bit refold, so no silent
+    drops from fused-hash collisions). PARTITIONED (beyond): both sides
+    bucket by ``h1 % parts`` and anti-join per partition — one thin
+    shuffle each, driver memory independent of corpus size."""
+    import pandas as pd
+
+    from .util import arrow_out
+
+    h1 = lambda b: stable_hash_strings(b[content_col])  # noqa: E731
+    h2 = lambda b: stable_hash_strings(b[content_col],  # noqa: E731
+                                       key=_HASH_KEY_2)
+
+    key_type = _id_type_of(new_ds, key_col)
+    fresh = exact_dedup(new_ds, content_col, key_col,
+                        broadcast_limit=broadcast_limit)
+
+    def fp_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"h1": pa.array(h1(b).astype(np.int64)),
+                      "h2": pa.array(h2(b).astype(np.int64))})
+        return t.group_by(["h1", "h2"]).aggregate([])
+
+    seen_fp = (seen_ds.map_batches(fp_partial, batch_format="pyarrow")
+               .groupby(["h1", "h2"])
+               .aggregate(Count(alias_name="_c"))
+               .map_batches(lambda b: b.select(["h1", "h2"]),
+                            batch_format="pyarrow")
+               .materialize())
+
+    def _packed(a1: np.ndarray, a2: np.ndarray) -> np.ndarray:
+        v = np.empty((len(a1), 2), dtype=">i8")
+        v[:, 0], v[:, 1] = a1, a2
+        return v.reshape(-1).view("S16")
+
+    if seen_fp.count() <= broadcast_limit:
+        from .util import collect_table
+        t = collect_table(seen_fp)
+        packed = _packed(
+            t["h1"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["h2"].to_numpy(zero_copy_only=False).astype(np.int64))
+        seen_ref = ray.put(np.sort(packed))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            q = _packed(h1(batch).astype(np.int64),
+                        h2(batch).astype(np.int64))
+            mask = ~np.isin(q, ray.get(seen_ref), assume_unique=False)
+            return batch.filter(pa.array(mask))
+
+        return fresh.map_batches(keep, batch_format="pyarrow")
+
+    # scale path: per-partition anti-join on the fingerprint pair
+    n_parts = 64
+
+    def tag(is_seen: int):
+        def fn(b: pa.Table) -> pa.Table:
+            a1 = (b["h1"].to_numpy(zero_copy_only=False) if is_seen
+                  else h1(b)).astype(np.int64)
+            a2 = (b["h2"].to_numpy(zero_copy_only=False) if is_seen
+                  else h2(b)).astype(np.int64)
+            keys = (b[key_col] if not is_seen
+                    else pa.nulls(b.num_rows, key_type))
+            return pa.table({
+                "h1": pa.array(a1), "h2": pa.array(a2), key_col: keys,
+                "_seen": pa.array(np.full(b.num_rows, is_seen,
+                                          dtype=np.int8)),
+                "_apid": pa.array(
+                    (a1.view(np.uint64) % np.uint64(n_parts))
+                    .astype(np.int64))})
+        return fn
+
+    # fresh must be materialized: tag() consumes it and the final
+    # semi-filter reads it again
+    fresh = fresh.materialize()
+    both = (fresh.map_batches(tag(0), batch_format="pyarrow")
+            .union(seen_fp.map_batches(
+                lambda b: b, batch_format="pyarrow").map_batches(
+                tag(1), batch_format="pyarrow")))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        seen = g[g["_seen"] == 1][["h1", "h2"]]
+        new = g[g["_seen"] == 0]
+        m = new.merge(seen.drop_duplicates(), on=["h1", "h2"],
+                      how="left", indicator=True)
+        return m[m["_merge"] == "left_only"][[key_col]]
+
+    survivor_keys = (both.groupby("_apid")
+                     .map_groups(arrow_out(anti), batch_format="pandas"))
+    from .join import equi_join
+    joined = equi_join(
+        fresh,
+        survivor_keys.map_batches(
+            lambda b: b.rename_columns(["_skey"]),
+            batch_format="pyarrow"),
+        left_on=key_col, right_on="_skey", how="inner")
+    cols = new_ds.schema().names
+    return joined.map_batches(lambda b: b.select(cols),
+                              batch_format="pyarrow")
+

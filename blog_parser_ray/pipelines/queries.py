@@ -3042,6 +3042,61 @@ def docs_by_source_skewsafe(sf_dir: str):
                        Sum("p_chars", alias_name="chars")))
 
 
+@q("dedup_incremental_docs", """
+WITH d AS (SELECT doc_id, source, lang,
+                  source || ':' || lang || ':'
+                    || CAST(n_chars % 10 AS VARCHAR) AS ckey
+           FROM documents),
+new AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+old AS (SELECT * FROM d WHERE doc_id % 3 <> 0)
+SELECT n.doc_id, n.source, n.lang FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.ckey = n.ckey)
+  AND n.doc_id = (SELECT min(doc_id) FROM new n2 WHERE n2.ckey = n.ckey)
+""")
+def dedup_incremental_docs(sf_dir: str):
+    """INCREMENTAL dedup (functions/dedup.py dedup_incremental): the new
+    shard (doc_id % 3 = 0) keeps only rows whose canonical key
+    (source:lang:len-bucket — the URL-canonical-key analog; this corpus
+    has no exact text dups across shards) is both shard-first and absent
+    from the seen corpus. The seen side reduces to distinct fingerprints;
+    plan-selected broadcast / partitioned anti-join."""
+    from ..functions.dedup import dedup_incremental
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "source", "lang", "n_chars"])
+
+    def ckey(b: pa.Table) -> pa.Table:
+        nb = (b["n_chars"].combine_chunks()
+              if isinstance(b["n_chars"], pa.ChunkedArray)
+              else b["n_chars"]).to_numpy(zero_copy_only=False)
+        bucket = pa.array((nb % 10).astype(np.int64))
+        k = pc.binary_join_element_wise(
+            b["source"].combine_chunks()
+            if isinstance(b["source"], pa.ChunkedArray) else b["source"],
+            b["lang"].combine_chunks()
+            if isinstance(b["lang"], pa.ChunkedArray) else b["lang"],
+            pc.cast(bucket, pa.string()), ":")
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "lang": b["lang"], "ckey": k})
+
+    keyed = docs.map_batches(ckey, batch_format="pyarrow")
+
+    def split(mod_is_zero: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0)
+            return b.filter(pa.array(m if mod_is_zero else ~m))
+        return fn
+
+    new = keyed.map_batches(split(True), batch_format="pyarrow")
+    seen = keyed.map_batches(split(False), batch_format="pyarrow")
+    out = dedup_incremental(new, seen, content_col="ckey",
+                            key_col="doc_id")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "source", "lang"]),
+        batch_format="pyarrow")
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).

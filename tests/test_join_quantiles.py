@@ -212,3 +212,29 @@ def test_skew_join_matches_plain_join_under_skew():
                           left_on="k", right_on="rk",
                           broadcast_limit=0))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_incremental_both_plans_match_ground_truth():
+    import pandas as pd
+
+    from blog_parser_ray.functions.dedup import dedup_incremental
+
+    rng = np.random.default_rng(9)
+    texts = [f"t{v}" for v in rng.integers(0, 120, 400)]  # heavy overlap
+    ids = np.arange(400, dtype=np.int64)
+    new = pa.table({"doc_id": pa.array(ids[:150]),
+                    "text": pa.array(texts[:150])})
+    seen = pa.table({"doc_id": pa.array(ids[150:]),
+                     "text": pa.array(texts[150:])})
+
+    df_new, df_seen = new.to_pandas(), seen.to_pandas()
+    firsts = df_new.groupby("text")["doc_id"].min()
+    want = set(firsts[~firsts.index.isin(set(df_seen["text"]))].tolist())
+    assert 0 < len(want) < 150  # the test really exercises both outcomes
+
+    for bl in (5_000_000, 0):  # broadcast plan, then partitioned plan
+        out = dedup_incremental(
+            rd.from_arrow(new).repartition(4),
+            rd.from_arrow(seen).repartition(3),
+            broadcast_limit=bl).to_pandas()
+        assert set(out["doc_id"].tolist()) == want, bl
