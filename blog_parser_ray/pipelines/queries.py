@@ -3100,12 +3100,16 @@ def dedup_incremental_docs(sf_dir: str):
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).
-    # -- never driver-verified (new in round 4; 21 of the 27 new entries
-    #    — the six deferred to round 5 (tumbling_15min,
+    # -- never driver-verified (new in round 4; the window holds 21 of
+    #    the round's new entries — the rest (tumbling_15min,
     #    union_distinct_keys, region_nation_cross, case_funcs,
-    #    cust_orders_left, heavy_words) share kernels/paths with
-    #    driver-green family members or have exact pytest ground-truth
-    #    oracles, and pass the identical local sf0.01 hash gate)
+    #    cust_orders_left, heavy_words, daily_gapfill,
+    #    qty_quantiles_cont, weighted_sample_docs, last_lineitem,
+    #    daily_active_users, new_users_daily, retention_next_day,
+    #    docs_by_source_skewsafe, dedup_incremental_docs) defer to
+    #    round 5: each shares kernels/paths with driver-green family
+    #    members or has an exact pytest ground-truth oracle, and ALL
+    #    pass the identical local sf0.01 (and sf0.1) hash gate)
     "orders_moving_avg", "orders_ntile", "orders_edge_values",
     "orders_value_rank", "events_lead_delta", "orders_range_30d",
     "top3_orders_per_cust", "cust_best_order", "grouping_sets_counts",
