@@ -1636,3 +1636,121 @@ def dedup_incremental(new_ds: rd.Dataset, seen_ds: rd.Dataset,
     return joined.map_batches(lambda b: b.select(cols),
                               batch_format="pyarrow")
 
+
+
+def _anti_filter_keys(ds: rd.Dataset, drop_keys: rd.Dataset,
+                      key_col: str, drop_col: str = "_drop",
+                      broadcast_limit: int = 5_000_000) -> rd.Dataset:
+    """Rows of ``ds`` whose ``key_col`` is NOT in ``drop_keys`` —
+    plan-selected like ``_dedup_by_hash``'s winner filter: BROADCAST the
+    distinct drop-key array when small (one ray.put, vectorized inverted
+    is_in per task — no shuffle of ``ds``), else a bucketed anti-join
+    (both sides shuffle once on the key; driver memory independent of
+    drop-key count)."""
+    import pandas as pd
+
+    drop_keys = drop_keys.materialize()
+    n = drop_keys.count()
+    if n == 0:
+        return ds
+    if n <= broadcast_limit:
+        from .util import collect_table
+        arr = collect_table(drop_keys)[drop_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        ref = ray.put(pc.unique(arr))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[key_col], value_set=ray.get(ref))
+            return batch.filter(pc.invert(mask))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    n_parts = 64
+    cols = ds.schema().names
+
+    def tag(side: int, key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b[key]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            h = _col_hash(k)
+            t = pa.table({c: b[c] for c in cols}) if side == 0 else \
+                pa.table({c: (b[key] if c == key_col else
+                              pa.nulls(b.num_rows,
+                                       ds.schema().types[cols.index(c)]))
+                          for c in cols})
+            return (t.append_column("_side", pa.array(
+                np.full(b.num_rows, side, dtype=np.int8)))
+                .append_column("_kpid", pa.array(
+                    (h % np.uint64(n_parts)).astype(np.int64))))
+        return fn
+
+    both = (ds.map_batches(tag(0, key_col), batch_format="pyarrow")
+            .union(drop_keys.map_batches(tag(1, drop_col),
+                                         batch_format="pyarrow")))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        drops = set(g[g["_side"] == 1][key_col].to_numpy())
+        keep = g[g["_side"] == 0]
+        return keep[~keep[key_col].isin(drops)][cols]
+
+    return (both.groupby("_kpid")
+            .map_groups(arrow_out(anti), batch_format="pandas"))
+
+
+def minhash_dedup_incremental(new_ds: rd.Dataset, seen_ds: rd.Dataset,
+                              threshold: float = 0.7, num_perm: int = 64,
+                              bands: int = 16, k: int = 3,
+                              text_col: str = "text",
+                              key_col: str = "doc_id") -> rd.Dataset:
+    """Incremental NEAR-dup dedup: rows of the NEW shard whose verified
+    word-shingle Jaccard vs ANY seen-corpus document is ≥ threshold are
+    dropped (new-vs-new near-dups are left to the caller — compose with
+    ``apply_pair_dedup`` when shard-internal dedup is also wanted).
+
+    REQUIRES disjoint ``key_col`` spaces across the two shards (the usual
+    contract for crawl increments). Plan: one LSH pass over the UNION
+    (production would persist the seen side's band rows and skip its
+    recompute — the API boundary is the same), verified pairs as a
+    Dataset, pairs touching a seen id found by a thin semi-join of the
+    pair table against the seen-id set, and the new-side endpoints of
+    those pairs anti-filtered out of the shard (broadcast / bucketed
+    plan, ``_anti_filter_keys``). Every join input is pair- or id-sized;
+    payloads never leave the cluster."""
+    from .join import equi_join
+
+    sel = [key_col, text_col]
+    u = (new_ds.map_batches(lambda b: b.select(sel),
+                            batch_format="pyarrow")
+         .union(seen_ds.map_batches(lambda b: b.select(sel),
+                                    batch_format="pyarrow")))
+    pairs = minhash_dedup_pairs_ds(u, threshold=threshold,
+                                   num_perm=num_perm, bands=bands, k=k,
+                                   text_col=text_col)
+    pairs = pairs.materialize()  # consumed twice below
+
+    seen_ids = seen_ds.map_batches(
+        lambda b: pa.table({"_sid": b[key_col]}),
+        batch_format="pyarrow").materialize()
+
+    def ends(col_keep: str, col_probe: str):
+        # pairs whose `col_probe` endpoint is a SEEN id → keep the other
+        # endpoint (disjoint spaces ⇒ it is a NEW id iff not seen; the
+        # second semi-join below removes seen-seen pairs' endpoints)
+        j = equi_join(
+            pairs.map_batches(
+                lambda b: pa.table({"_keep": b[col_keep],
+                                    "_probe": b[col_probe]}),
+                batch_format="pyarrow"),
+            seen_ids, left_on="_probe", right_on="_sid", how="inner",
+            broadcast_limit=0)
+        return j.map_batches(lambda b: pa.table({"_drop": b["_keep"]}),
+                             batch_format="pyarrow")
+
+    cand_drops = ends("a", "b").union(ends("b", "a")).materialize()
+    # remove drops that are themselves seen ids (seen-seen pairs)
+    new_drops = _anti_filter_keys(
+        cand_drops, seen_ids, key_col="_drop", drop_col="_sid")
+    return _anti_filter_keys(new_ds, new_drops, key_col=key_col,
+                             drop_col="_drop")

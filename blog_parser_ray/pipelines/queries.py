@@ -3097,6 +3097,29 @@ def dedup_incremental_docs(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("dedup_incremental_near")  # rows-only: LSH banding has no SQL oracle
+def dedup_incremental_near(sf_dir: str):
+    """Incremental NEAR-dup dedup (functions/dedup.py
+    minhash_dedup_incremental): new shard (doc_id % 3 = 0) minus rows
+    whose verified Jaccard vs any seen-corpus doc ≥ 0.5. Cross-shard
+    planted-dup behavior is pinned by pytest ground truth
+    (tests/test_join_quantiles.py)."""
+    from ..functions.dedup import minhash_dedup_incremental
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(mod_is_zero: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0)
+            return b.filter(pa.array(m if mod_is_zero else ~m))
+        return fn
+
+    new = docs.map_batches(split(True), batch_format="pyarrow")
+    seen = docs.map_batches(split(False), batch_format="pyarrow")
+    return minhash_dedup_incremental(new, seen, threshold=0.5)
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).

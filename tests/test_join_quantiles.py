@@ -238,3 +238,39 @@ def test_dedup_incremental_both_plans_match_ground_truth():
             rd.from_arrow(seen).repartition(3),
             broadcast_limit=bl).to_pandas()
         assert set(out["doc_id"].tolist()) == want, bl
+
+
+def test_minhash_dedup_incremental_drops_cross_shard_neardups():
+    """Planted near-identical docs across shards: new-shard copies must be
+    dropped; unrelated and new-vs-new-only dups must survive."""
+    from blog_parser_ray.functions.dedup import minhash_dedup_incremental
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(300)]
+
+    def doc(seed, mutate=0):
+        r = np.random.default_rng(seed)
+        ws = [vocab[i] for i in r.integers(0, 300, 60)]
+        for j in range(mutate):
+            ws[j] = vocab[int(r.integers(0, 300))]
+        return " ".join(ws)
+
+    seen_texts = [doc(s) for s in range(40)]
+    # new shard: 10 near-copies of seen docs (1-word mutation), 10 fresh,
+    # plus 2 docs near-identical to EACH OTHER but not to seen
+    near = [doc(s, mutate=1) for s in range(10)]
+    fresh = [doc(1000 + s) for s in range(10)]
+    twin_a, twin_b = doc(5000), doc(5000, mutate=1)
+    new_texts = near + fresh + [twin_a, twin_b]
+    seen = pa.table({"doc_id": pa.array(np.arange(1000, 1040,
+                                                  dtype=np.int64)),
+                     "text": pa.array(seen_texts)})
+    new = pa.table({"doc_id": pa.array(np.arange(22, dtype=np.int64)),
+                    "text": pa.array(new_texts)})
+    out = minhash_dedup_incremental(
+        rd.from_arrow(new).repartition(3),
+        rd.from_arrow(seen).repartition(4),
+        threshold=0.6, k=3).to_pandas()
+    got = set(out["doc_id"].tolist())
+    assert got & set(range(10)) == set(), got  # near-copies dropped
+    assert set(range(10, 22)) <= got, got      # fresh + twins survive
