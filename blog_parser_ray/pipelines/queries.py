@@ -3120,6 +3120,95 @@ def dedup_incremental_near(sf_dir: str):
     return minhash_dedup_incremental(new, seen, threshold=0.5)
 
 
+@q("price_zscore_by_flag", """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy
+  FROM lineitem GROUP BY 1)
+SELECT l.l_orderkey, l.l_linenumber,
+       floor((CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+              - CAST(s.sy AS DOUBLE) / s.n)
+             / sqrt(CAST(s.syy AS DOUBLE) / s.n
+                    - (CAST(s.sy AS DOUBLE) / s.n)
+                      * (CAST(s.sy AS DOUBLE) / s.n))
+             * 10000 + 0.5) / 10000 AS z
+FROM lineitem l JOIN s USING (l_returnflag)
+""")
+def price_zscore_by_flag(sf_dir: str):
+    """Per-row z-score normalization within the return-flag group (the
+    feature-scaling staple), EXACT: group power sums come from the shared
+    hi/lo-split integer kernel (_corr_partials_grouped — overflow-safe at
+    any scale), broadcast as a tiny dict, and the per-row expression is
+    the identical IEEE op sequence the SQL runs — bit-exact after the
+    4-dp floor rounding. One streaming pass + one group-sized reduce."""
+    stats = {}
+    for r in _corr_partials_grouped(sf_dir).to_pandas().to_dict("records"):
+        sy = (int(r["sy_hi"]) << 32) + int(r["sy_lo"])
+        syy = (int(r["syy_hi"]) << 32) + int(r["syy_lo"])
+        n = int(r["n"])
+        stats[r["l_returnflag"]] = (n, sy, syy)
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice"])
+
+    def z(b: pa.Table) -> pa.Table:
+        cents = _cents(b["l_extendedprice"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        flags = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        mean = np.empty(len(flags))
+        sd = np.empty(len(flags))
+        for f, (n, sy, syy) in stats.items():
+            m = flags == f
+            mu = float(sy) / n
+            mean[m] = mu
+            sd[m] = np.sqrt(float(syy) / n - mu * mu)
+        zv = np.floor((cents - mean) / sd * 10000 + 0.5) / 10000
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_linenumber": b["l_linenumber"],
+                         "z": pa.array(zv, type=pa.float64())})
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+@q("price_clip_outliers", """
+WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS cents, l_orderkey, l_linenumber
+           FROM lineitem),
+q AS (SELECT quantile_disc(cents, 0.01) AS lo,
+             quantile_disc(cents, 0.99) AS hi FROM c)
+SELECT l_orderkey, l_linenumber, cents
+FROM c, q WHERE cents >= q.lo AND cents <= q.hi
+""")
+def price_clip_outliers(sf_dir: str):
+    """Quantile-based outlier clipping (data-cleaning staple): the exact
+    p01/p99 thresholds come from the bounded-domain count-CDF
+    (stages/agg.py exact_quantiles_bounded — value-count shuffle only),
+    then one streamed filter pass. Matches quantile_disc exactly — no
+    approximation in the loop."""
+    from ..stages import agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    cents_ds = ds.map_batches(
+        lambda b: pa.table({"vc": _cents(b["l_extendedprice"])}),
+        batch_format="pyarrow")
+    qq = agg.exact_quantiles_bounded(cents_ds, "vc", [0.01, 0.99])
+    lo, hi = int(qq[0.01]), int(qq[0.99])
+
+    def clip(b: pa.Table) -> pa.Table:
+        cents = _cents(b["l_extendedprice"])
+        m = pc.and_(pc.greater_equal(cents, lo), pc.less_equal(cents, hi))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_linenumber": b["l_linenumber"],
+                         "cents": cents}).filter(m)
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).
