@@ -217,26 +217,31 @@ def approx_distinct_grouped(ds: rd.Dataset, col: str, by: str,
 
 
 def heavy_hitters(items: rd.Dataset, col: str, k: int = 64) -> rd.Dataset:
-    """Distributed Misra–Gries heavy hitters with EXACT output counts.
+    """Distributed Misra-Gries heavy hitters with EXACT output counts and
+    a PROVABLY BOUNDED candidate set (≤ 2(k+1) items at any scale).
 
     Pass 1 (sketch): each block computes exact local counts (Arrow
-    group_by), then compresses to ≤ k counters by subtracting the
-    (k+1)-largest local count — the classic MG guarantee per block:
-    est_b(x) ≥ freq_b(x) − n_b/(k+1). Any item with global frequency
-    > n/(k+1) therefore survives in AT LEAST ONE block summary (if it
-    were absent from all, freq(x) = Σ freq_b(x) ≤ Σ n_b/(k+1) = n/(k+1)),
-    so the union of block summaries — ≤ k·blocks thin rows, never the
-    corpus — is a sound candidate superset.
+    group_by) and MG-compresses to ≤ ks = 2k+1 counters by subtracting
+    the (ks+1)-largest local count d_b — so est_b(x) ≥ freq_b(x) − d_b
+    and d_b·(ks+1) ≤ n_b. Block summaries plus two sentinel rows (n_b,
+    d_b) reduce through ONE distributed groupby-Sum; with D = Σd_b ≤
+    n/(2k+2), any x with freq(x)·(k+1) > n satisfies
+    Σest(x)·(k+1) > n − D·(k+1) ≥ n/2 — the integer margin filter keeps
+    it, and since each survivor carries Σest > n/(2(k+1)) while
+    ΣΣest ≤ n, AT MOST 2(k+1) items survive. The driver never sees the
+    k·blocks union (at 10⁶ blocks that union is GB-scale; the pruned
+    candidate set is bytes).
 
-    Pass 2 (exact): the distinct candidate set is broadcast via one
-    ``ray.put`` and every block counts ONLY candidate items plus its block
-    total; a tiny groupby-Sum yields exact candidate counts and n. The
-    final filter ``cnt·(k+1) > n`` (integer arithmetic, no float
-    threshold) returns exactly SQL's ``HAVING count(*)·(k+1) > n`` —
-    hash-exact against the oracle. Both passes stream; shuffles touch
-    only sketch-sized data. Returns a Dataset of (col, cnt)."""
+    Pass 2 (exact): candidates broadcast via one ``ray.put``, every block
+    counts only candidate items, a tiny groupby-Sum yields exact counts,
+    and the final integer filter ``cnt·(k+1) > n`` matches SQL's
+    ``HAVING count(*)·(k+1) > n`` hash-exact. Both passes stream; all
+    shuffles are sketch-sized. Returns a Dataset of (col, cnt)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    ks = 2 * k + 1
+    N_KEY, D_KEY = "\x00__n__", "\x00__d__"
 
     def mg_partial(batch: pa.Table) -> pa.Table:
         c = batch[col]
@@ -244,20 +249,52 @@ def heavy_hitters(items: rd.Dataset, col: str, k: int = 64) -> rd.Dataset:
             c = c.combine_chunks()
         g = pa.table({col: c}).group_by([col]).aggregate([([], "count_all")])
         cnt = g.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(cnt) > k:
-            # subtract the (k+1)-largest count; keep strictly positive
-            kth = np.partition(cnt, len(cnt) - (k + 1))[len(cnt) - (k + 1)]
+        d_b = 0
+        if len(cnt) > ks:
+            kth = np.partition(cnt, len(cnt) - (ks + 1))[len(cnt) - (ks + 1)]
             keep = cnt > kth
-            g = g.filter(pa.array(keep))
-        return pa.table({col: g[col]})
+            g, cnt, d_b = g.filter(pa.array(keep)), cnt[keep] - kth, int(kth)
+        words = g[col]
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        return pa.table({
+            col: pa.concat_arrays([words, pa.array([N_KEY, D_KEY])]),
+            "p_est": pa.array(np.concatenate(
+                [cnt, [batch.num_rows, d_b]]).astype(np.int64)),
+        })
+
+    summed1 = (items.map_batches(mg_partial, batch_format="pyarrow")
+               .groupby(col).aggregate(Sum("p_est", alias_name="est"))
+               .materialize())
+
+    def sentinels(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b[col], value_set=pa.array([N_KEY, D_KEY]))
+        return b.filter(mask)
+
+    sent = {r[col]: int(r["est"]) for r in
+            summed1.map_batches(sentinels,
+                                batch_format="pyarrow").take_all()}
+    n = sent.get(N_KEY, 0)
+    big_d = sent.get(D_KEY, 0)
+    if n == 0:
+        return rd.from_arrow(pa.table({col: pa.array([], pa.string()),
+                                       "cnt": pa.array([], pa.int64())}))
+    margin = n - big_d * (k + 1)  # Σest·(k+1) must EXCEED this
+
+    def prune(b: pa.Table) -> pa.Table:
+        est = b["est"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = b[col].to_numpy(zero_copy_only=False)
+        keep = (est * (k + 1) > margin) & (keys != N_KEY) & (keys != D_KEY)
+        return pa.table({col: b[col].filter(pa.array(keep))
+                         if not isinstance(b[col], pa.ChunkedArray)
+                         else b[col].combine_chunks().filter(
+                             pa.array(keep))})
 
     from .util import collect_table
-    cand_list = (items.map_batches(mg_partial, batch_format="pyarrow")
-                 .unique(col))
-    # typed even when empty — Dataset.unique yields None entries /
-    # a null-typed array on empty input, which would poison the is_in
-    cand = pa.array([c for c in (cand_list or []) if c is not None],
-                    type=pa.string())
+    cand = collect_table(
+        summed1.map_batches(prune, batch_format="pyarrow"))[col]
+    if isinstance(cand, pa.ChunkedArray):
+        cand = cand.combine_chunks()
     if len(cand) == 0:
         return rd.from_arrow(pa.table({col: pa.array([], pa.string()),
                                        "cnt": pa.array([], pa.int64())}))
@@ -271,25 +308,16 @@ def heavy_hitters(items: rd.Dataset, col: str, k: int = 64) -> rd.Dataset:
         g = (pa.table({col: c.filter(mask)})
              .group_by([col]).aggregate([([], "count_all")]))
         out = g.rename_columns([col, "p_cnt"])
-        # block total rides along under a reserved key (never a real item:
-        # it carries the only negative-sentinel marker column)
-        return pa.table({
-            col: pa.concat_arrays([out[col].combine_chunks(),
-                                   pa.array(["\x00__total__"])]),
-            "p_cnt": pa.concat_arrays(
-                [pc.cast(out["p_cnt"], pa.int64()).combine_chunks(),
-                 pa.array([batch.num_rows], type=pa.int64())]),
-        })
+        return pa.table({col: out[col],
+                         "p_cnt": pc.cast(out["p_cnt"], pa.int64())})
 
     summed = (items.map_batches(exact_partial, batch_format="pyarrow")
               .groupby(col).aggregate(Sum("p_cnt", alias_name="cnt")))
-    tbl = collect_table(summed)  # candidates + 1 sentinel — sketch-sized
-    words = tbl[col].to_pylist()
+    tbl = collect_table(summed)  # ≤ 2(k+1) rows
     cnts = tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(cnts[words.index("\x00__total__")])
-    keep = np.array([w != "\x00__total__" and int(c) * (k + 1) > n
-                     for w, c in zip(words, cnts)], dtype=bool)
-    out = pa.table({col: pa.array([w for w, m in zip(words, keep) if m],
-                                  type=pa.string()),
+    keep = cnts * (k + 1) > n
+    out = pa.table({col: (tbl[col].combine_chunks()
+                          if isinstance(tbl[col], pa.ChunkedArray)
+                          else tbl[col]).filter(pa.array(keep)),
                     "cnt": pa.array(cnts[keep], type=pa.int64())})
     return rd.from_arrow(out)
