@@ -274,3 +274,21 @@ def test_minhash_dedup_incremental_drops_cross_shard_neardups():
     got = set(out["doc_id"].tolist())
     assert got & set(range(10)) == set(), got  # near-copies dropped
     assert set(range(10, 22)) <= got, got      # fresh + twins survive
+
+
+def test_anti_filter_keys_both_plans():
+    from blog_parser_ray.functions.dedup import _anti_filter_keys
+
+    ds = pa.table({"doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+                   "v": pa.array(np.arange(1000, dtype=np.int64) * 2)})
+    drops = pa.table({"_drop": pa.array(
+        np.arange(0, 1000, 3, dtype=np.int64))})
+    want = {int(i) for i in range(1000) if i % 3 != 0}
+    for bl in (5_000_000, 0):  # broadcast, then bucketed anti-join
+        out = _anti_filter_keys(
+            rd.from_arrow(ds).repartition(4),
+            rd.from_arrow(drops).repartition(2),
+            key_col="doc_id", broadcast_limit=bl).to_pandas()
+        assert set(out["doc_id"].tolist()) == want, bl
+        # non-key columns survive intact
+        assert (out["v"] == out["doc_id"] * 2).all()
