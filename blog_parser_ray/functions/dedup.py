@@ -1667,7 +1667,11 @@ def _anti_filter_keys(ds: rd.Dataset, drop_keys: rd.Dataset,
         return ds.map_batches(keep, batch_format="pyarrow")
 
     n_parts = 64
-    cols = ds.schema().names
+    sch = ds.schema()
+    cols = sch.names
+    # capture plain types, NOT the Dataset — a `ds.schema()` call inside
+    # the UDF would ship the Dataset handle into every task
+    col_types = dict(zip(sch.names, sch.types))
 
     def tag(side: int, key: str):
         def fn(b: pa.Table) -> pa.Table:
@@ -1677,8 +1681,7 @@ def _anti_filter_keys(ds: rd.Dataset, drop_keys: rd.Dataset,
             h = _col_hash(k)
             t = pa.table({c: b[c] for c in cols}) if side == 0 else \
                 pa.table({c: (b[key] if c == key_col else
-                              pa.nulls(b.num_rows,
-                                       ds.schema().types[cols.index(c)]))
+                              pa.nulls(b.num_rows, col_types[c]))
                           for c in cols})
             return (t.append_column("_side", pa.array(
                 np.full(b.num_rows, side, dtype=np.int8)))
