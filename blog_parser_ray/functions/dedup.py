@@ -1757,3 +1757,83 @@ def minhash_dedup_incremental(new_ds: rd.Dataset, seen_ds: rd.Dataset,
         cand_drops, seen_ids, key_col="_drop", drop_col="_sid")
     return _anti_filter_keys(new_ds, new_drops, key_col=key_col,
                              drop_col="_drop")
+
+
+def shared_span_pairs(ds: rd.Dataset, n: int = 20,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_parts: int = 32,
+                      max_bucket: int = 1024) -> rd.Dataset:
+    """Document pairs sharing at least one EXACT n-word span, with the
+    count of distinct shared spans — the substring-duplication primitive
+    behind suffix-array-style training-data dedup (long verbatim overlap
+    ⇒ near-certain duplication or quotation).
+
+    Plan (all thin, LSH-candidate-shaped): per-batch distinct
+    (span, doc) rows from the list-offset n-gram kernel
+    (functions/text.py ngram_strings — spans never cross documents) →
+    ONE shuffle partitioned by span hash (every copy of a span lands
+    together, so per-partition processing is globally complete) →
+    per-partition sort + segment scan expands each multi-doc span into
+    ordered (a < b) pairs — each (a, b, span) combination is emitted
+    EXACTLY ONCE globally, so plain two-phase counting yields the
+    distinct-shared-span count with no second dedup shuffle. Spans
+    shared by more than ``max_bucket`` docs are truncated (worker-side
+    log) — such spans are boilerplate, a signal for the exact-dedup /
+    normalization stages, not pair expansion."""
+    import logging
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .text import _split_words, ngram_strings
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        grams, doc_idx, _ = ngram_strings(_split_words(b[text_col]), n)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        t = pa.table({"g": grams, "d": ids.take(pa.array(doc_idx))})
+        t = t.group_by(["g", "d"]).aggregate([])  # batch-local distinct
+        h = stable_hash_strings(t["g"].combine_chunks()
+                                if isinstance(t["g"], pa.ChunkedArray)
+                                else t["g"])
+        return t.append_column(
+            "_gpid", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"a": g["d"], "b": g["d"]})
+        g = (g.drop_duplicates(subset=["g", "d"])
+             .sort_values(["g", "d"], kind="mergesort"))
+        gv = g["g"].to_numpy()
+        dv = g["d"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, gv[1:] != gv[:-1]])
+        sizes = np.diff(np.r_[starts, len(gv)])
+        a_out, b_out = [], []
+        for s in np.flatnonzero(sizes > 1):
+            m = int(sizes[s])
+            if m > max_bucket:
+                logging.getLogger(__name__).warning(
+                    "shared_span_pairs: span shared by %d docs truncated "
+                    "to %d (boilerplate-shaped)", m, max_bucket)
+                m = max_bucket
+            docs = dv[starts[s]:starts[s] + m]
+            ia, ib = np.triu_indices(m, k=1)
+            a_out.append(docs[ia])
+            b_out.append(docs[ib])
+        if not a_out:
+            return pd.DataFrame({"a": dv[:0], "b": dv[:0]})
+        return pd.DataFrame({"a": np.concatenate(a_out),
+                             "b": np.concatenate(b_out)})
+
+    pair_rows = (ds.map_batches(gram_rows, batch_format="pyarrow")
+                 .groupby("_gpid")
+                 .map_groups(arrow_out(per_part), batch_format="pandas"))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "p_cnt"])
+
+    return (pair_rows.map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Sum("p_cnt", alias_name="shared_spans")))

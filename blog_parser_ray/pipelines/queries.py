@@ -3209,6 +3209,31 @@ def price_clip_outliers(sf_dir: str):
     return ds.map_batches(clip, batch_format="pyarrow")
 
 
+@q("dup_span_pairs", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+g0 AS (SELECT doc_id,
+              array_to_string(list_slice(arr, i, i + 3), ' ') AS g
+       FROM w, unnest(range(1, greatest(len(arr) - 3, 0) + 1)) AS t(i)),
+g AS (SELECT DISTINCT doc_id, g FROM g0)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(count(*) AS BIGINT) AS shared_spans
+FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""")
+def dup_span_pairs(sf_dir: str):
+    """Exact shared-span detection (functions/dedup.py
+    shared_span_pairs): document pairs sharing ≥1 identical 4-word span
+    + the distinct-span count — the substring-duplication primitive
+    behind suffix-array-style training-data dedup. 4 words here so the
+    synthetic word-soup corpus produces real collisions; production uses
+    n≈20 (the default), where a shared span is near-proof of verbatim
+    copying. Only (span, doc) rows and pairs ever shuffle."""
+    from ..functions.dedup import shared_span_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return shared_span_pairs(ds, n=4)
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).
