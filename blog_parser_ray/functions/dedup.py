@@ -1731,6 +1731,18 @@ def minhash_dedup_incremental(new_ds: rd.Dataset, seen_ds: rd.Dataset,
     pairs = minhash_dedup_pairs_ds(u, threshold=threshold,
                                    num_perm=num_perm, bands=bands, k=k,
                                    text_col=text_col)
+    return _incremental_from_pairs(new_ds, seen_ds, pairs, key_col)
+
+
+def _incremental_from_pairs(new_ds: rd.Dataset, seen_ds: rd.Dataset,
+                            pairs: rd.Dataset,
+                            key_col: str) -> rd.Dataset:
+    """Shared tail of every incremental near-dup variant: given verified
+    pairs over the shard UNION (disjoint key spaces), drop the NEW-side
+    endpoints of pairs that touch a seen id. All inputs pair- or
+    id-sized; plan-selected anti-filters."""
+    from .join import equi_join
+
     pairs = pairs.materialize()  # consumed twice below
 
     seen_ids = seen_ds.map_batches(
@@ -1757,6 +1769,31 @@ def minhash_dedup_incremental(new_ds: rd.Dataset, seen_ds: rd.Dataset,
         cand_drops, seen_ids, key_col="_drop", drop_col="_sid")
     return _anti_filter_keys(new_ds, new_drops, key_col=key_col,
                              drop_col="_drop")
+
+
+def embedding_dedup_incremental(new_ds: rd.Dataset, seen_ds: rd.Dataset,
+                                threshold: float = 0.9,
+                                col: str = "embedding",
+                                id_col: str = "vec_id",
+                                n_bits: int = 8,
+                                target_recall: float = 0.99,
+                                seed: int = 13) -> rd.Dataset:
+    """Incremental EMBEDDING near-dup dedup (semantic-dedup shape): new
+    rows whose exact cosine vs any seen vector ≥ threshold are dropped.
+    Same contract and plan as ``minhash_dedup_incremental`` (disjoint id
+    spaces; one hyperplane-LSH pass over the union — vectors never
+    shuffle, band rows do; verified pairs as a Dataset; thin pair/id
+    joins; plan-selected anti-filters)."""
+    sel = [id_col, col]
+    u = (new_ds.map_batches(lambda b: b.select(sel),
+                            batch_format="pyarrow")
+         .union(seen_ds.map_batches(lambda b: b.select(sel),
+                                    batch_format="pyarrow")))
+    pairs = embedding_near_dup_pairs_ds(u, threshold=threshold, col=col,
+                                        id_col=id_col, n_bits=n_bits,
+                                        target_recall=target_recall,
+                                        seed=seed)
+    return _incremental_from_pairs(new_ds, seen_ds, pairs, id_col)
 
 
 def shared_span_pairs(ds: rd.Dataset, n: int = 20,

@@ -3234,6 +3234,28 @@ def dup_span_pairs(sf_dir: str):
     return shared_span_pairs(ds, n=4)
 
 
+@q("dedup_incremental_embed")  # rows-only: LSH banding has no SQL oracle
+def dedup_incremental_embed(sf_dir: str):
+    """Incremental EMBEDDING near-dup (functions/dedup.py
+    embedding_dedup_incremental): new shard (vec_id % 3 = 0) minus
+    vectors with exact cosine ≥ 0.92 vs any seen vector. Planted-dup
+    behavior pinned by pytest ground truth."""
+    from ..functions.dedup import embedding_dedup_incremental
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def split(mod_is_zero: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0)
+            return b.filter(pa.array(m if mod_is_zero else ~m))
+        return fn
+
+    new = vecs.map_batches(split(True), batch_format="pyarrow")
+    seen = vecs.map_batches(split(False), batch_format="pyarrow")
+    return embedding_dedup_incremental(new, seen, threshold=0.92)
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).

@@ -292,3 +292,33 @@ def test_anti_filter_keys_both_plans():
         assert set(out["doc_id"].tolist()) == want, bl
         # non-key columns survive intact
         assert (out["v"] == out["doc_id"] * 2).all()
+
+
+def test_embedding_dedup_incremental_drops_cross_shard():
+    """Planted near-identical vectors across shards are dropped from the
+    new shard; orthogonal-ish fresh vectors survive."""
+    from blog_parser_ray.functions.dedup import embedding_dedup_incremental
+
+    rng = np.random.default_rng(31)
+    d = 16
+    seen_vecs = rng.normal(size=(30, d)).astype(np.float32)
+    near = seen_vecs[:8] + rng.normal(scale=0.01,
+                                      size=(8, d)).astype(np.float32)
+    fresh = rng.normal(size=(8, d)).astype(np.float32)
+    new_vecs = np.vstack([near, fresh])
+
+    def tbl(ids, vecs):
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32()))})
+
+    out = embedding_dedup_incremental(
+        rd.from_arrow(tbl(np.arange(16), new_vecs)).repartition(3),
+        rd.from_arrow(tbl(np.arange(1000, 1030), seen_vecs)
+                      ).repartition(2),
+        threshold=0.95).to_pandas()
+    got = set(out["vec_id"].tolist())
+    assert got & set(range(8)) == set(), got   # near-copies dropped
+    # fresh random gaussians are near-orthogonal to everything: survive
+    assert set(range(8, 16)) <= got, got
