@@ -1743,7 +1743,15 @@ def _incremental_from_pairs(new_ds: rd.Dataset, seen_ds: rd.Dataset,
     id-sized; plan-selected anti-filters."""
     from .join import equi_join
 
-    pairs = pairs.materialize()  # consumed twice below
+    # repartition scrubs the schema-less 0-row blocks that map_groups
+    # pipelines emit (map_batches SKIPS empty blocks, so the rename UDFs
+    # below never fix them and the native join's aggregator raises
+    # "No match for key field" — see the gotcha at _drop_keys)
+    pairs = pairs.repartition(16).materialize()  # consumed twice below
+    if pairs.count() == 0:
+        # no near-dups at all — and an all-empty Dataset would reach the
+        # join with no schema for the renamed key columns
+        return new_ds
 
     seen_ids = seen_ds.map_batches(
         lambda b: pa.table({"_sid": b[key_col]}),
