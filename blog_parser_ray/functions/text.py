@@ -285,3 +285,45 @@ def redact_batch(batch: pa.Table, pattern: str, replacement: str,
         "text_redacted": pc.replace_substring_regex(
             batch[text_col], pattern, replacement),
     })
+
+
+def chunk_batch(batch: pa.Table, size: int = 32, stride: int = 24,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """Split documents into overlapping fixed-size word chunks (training
+    prep: context windows with overlap = size - stride). Fully
+    vectorized: chunk start positions come from the list offsets, the
+    chunk text is ONE ``pc.binary_join`` over a re-gathered ListArray —
+    no per-row Python. Chunks never cross documents. Row explosion is
+    ~n_words/stride per doc; a pure map, no shuffle."""
+    words = _split_words(batch[text_col])
+    rel = _rel_offsets(words)
+    counts = rel[1:] - rel[:-1]
+    flat = words.flatten()
+
+    n_chunks = np.maximum((counts + stride - 1) // stride, 1)
+    # a chunk starts at every stride-th word while start < n_words
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
+    within = (np.arange(doc_idx.size, dtype=np.int64)
+              - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+    starts = within * stride
+    lens = np.minimum(counts[doc_idx] - starts, size)
+
+    # gather absolute word indices chunk by chunk
+    total = int(lens.sum())
+    gidx = (np.repeat(rel[:-1][doc_idx] + starts, lens)
+            + (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(lens) - lens, lens)))
+    chunk_offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    lst = pa.ListArray.from_arrays(
+        pa.array(chunk_offsets, type=pa.int32()),
+        flat.take(pa.array(gidx)))
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        id_col: ids.take(pa.array(doc_idx)),
+        "chunk_id": pa.array(within, type=pa.int64()),
+        "chunk": pc.binary_join(lst, " "),
+        "n_words": pa.array(lens, type=pa.int64()),
+    })

@@ -3256,6 +3256,29 @@ def dedup_incremental_embed(sf_dir: str):
     return embedding_dedup_incremental(new, seen, threshold=0.92)
 
 
+@q("chunk_docs", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+SELECT doc_id,
+       CAST((i - 1) / 24 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(arr, i, least(i + 31, len(arr))), ' ')
+         AS chunk,
+       CAST(least(i + 31, len(arr)) - i + 1 AS BIGINT) AS n_words
+FROM w, unnest(range(1, len(arr) + 1, 24)) AS t(i)
+""")
+def chunk_docs(sf_dir: str):
+    """Overlapping fixed-size context-window chunking (size 32 words,
+    stride 24 — the training-prep staple; functions/text.py chunk_batch):
+    one vectorized pure map, chunks never cross documents, hash-exact
+    against the SQL list_slice oracle."""
+    from ..functions.text import chunk_batch
+
+    def fn(b: pa.Table) -> pa.Table:
+        return chunk_batch(b, size=32, stride=24)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).
