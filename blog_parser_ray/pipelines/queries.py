@@ -3279,6 +3279,62 @@ def chunk_docs(sf_dir: str):
         fn, batch_format="pyarrow")
 
 
+@q("validate_orders", """
+SELECT 'not_null:o_custkey' AS check_name,
+       CAST(CASE WHEN count(*) FILTER (WHERE o_custkey IS NULL) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS ok,
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+         AS observed
+FROM orders
+UNION ALL
+SELECT 'range:o_totalprice',
+       CAST(CASE WHEN count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0 OR o_totalprice > 100000)) = 0
+            THEN 1 ELSE 0 END AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+            AND (o_totalprice < 0 OR o_totalprice > 100000)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'accepted:o_orderstatus',
+       CAST(CASE WHEN count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+            THEN 1 ELSE 0 END AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(CASE WHEN d = 0 THEN 1 ELSE 0 END AS BIGINT),
+       CAST(d AS BIGINT)
+FROM (SELECT count(*) AS d FROM
+      (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+UNION ALL
+SELECT 'row_count_min:1000',
+       CAST(CASE WHEN count(*) >= 1000 THEN 1 ELSE 0 END AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+""")
+def validate_orders(sf_dir: str):
+    """Data-quality expectation checks (functions/validate.py): all
+    scalar rules in ONE streaming pass (per-batch violation counts,
+    Sum-reduced) plus one thin key shuffle for uniqueness — the
+    pre/post-load validation a production pipeline runs. The range rule
+    is deliberately violated (prices run past 100k) so a failing check's
+    (ok=0, observed>0) path is oracle-verified too."""
+    from ..functions.validate import validate
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice"])
+    return validate(ds, [
+        ("not_null", "o_custkey"),
+        ("range", "o_totalprice", 0.0, 100000.0),
+        ("accepted", "o_orderstatus", ("O", "F", "P")),
+        ("unique", "o_orderkey"),
+        ("row_count_min", 1000),
+    ])
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).
