@@ -1694,7 +1694,7 @@ def _anti_filter_keys(ds: rd.Dataset, drop_keys: rd.Dataset,
                                          batch_format="pyarrow")))
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
-        drops = set(g[g["_side"] == 1][key_col].to_numpy())
+        drops = g[g["_side"] == 1][key_col].to_numpy()
         keep = g[g["_side"] == 0]
         return keep[~keep[key_col].isin(drops)][cols]
 
