@@ -3344,10 +3344,14 @@ _DRIVER_PRIORITY = [
     #    cust_orders_left, heavy_words, daily_gapfill,
     #    qty_quantiles_cont, weighted_sample_docs, last_lineitem,
     #    daily_active_users, new_users_daily, retention_next_day,
-    #    docs_by_source_skewsafe, dedup_incremental_docs) defer to
-    #    round 5: each shares kernels/paths with driver-green family
-    #    members or has an exact pytest ground-truth oracle, and ALL
-    #    pass the identical local sf0.01 (and sf0.1) hash gate)
+    #    docs_by_source_skewsafe, dedup_incremental_docs,
+    #    dedup_incremental_near, dedup_incremental_embed,
+    #    dup_span_pairs, chunk_docs, validate_orders,
+    #    price_zscore_by_flag, price_clip_outliers) defer to round 5:
+    #    each shares kernels/paths with driver-green family members or
+    #    has an exact pytest ground-truth oracle, and ALL pass the
+    #    identical local sf0.01 hash gate (full registry also green at
+    #    sf0.1))
     "orders_moving_avg", "orders_ntile", "orders_edge_values",
     "orders_value_rank", "events_lead_delta", "orders_range_30d",
     "top3_orders_per_cust", "cust_best_order", "grouping_sets_counts",
