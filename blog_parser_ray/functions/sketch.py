@@ -216,7 +216,8 @@ def approx_distinct_grouped(ds: rd.Dataset, col: str, by: str,
                                     batch_format="pandas"))
 
 
-def heavy_hitters(items: rd.Dataset, col: str, k: int = 64) -> rd.Dataset:
+def heavy_hitters(items: rd.Dataset, col: str, k: int = 64,
+                  exact: bool = True) -> rd.Dataset:
     """Distributed Misra-Gries heavy hitters with EXACT output counts and
     a PROVABLY BOUNDED candidate set (≤ 2(k+1) items at any scale).
 
@@ -232,7 +233,8 @@ def heavy_hitters(items: rd.Dataset, col: str, k: int = 64) -> rd.Dataset:
     k·blocks union (at 10⁶ blocks that union is GB-scale; the pruned
     candidate set is bytes).
 
-    Pass 2 (exact): candidates broadcast via one ``ray.put``, every block
+    Pass 2 (exact; skipped when ``exact=False``): candidates broadcast
+    via one ``ray.put``, every block
     counts only candidate items, a tiny groupby-Sum yields exact counts,
     and the final integer filter ``cnt·(k+1) > n`` matches SQL's
     ``HAVING count(*)·(k+1) > n`` hash-exact. Both passes stream; all
@@ -298,6 +300,12 @@ def heavy_hitters(items: rd.Dataset, col: str, k: int = 64) -> rd.Dataset:
     if len(cand) == 0:
         return rd.from_arrow(pa.table({col: pa.array([], pa.string()),
                                        "cnt": pa.array([], pa.int64())}))
+    if not exact:
+        # candidate-superset mode (skew_join's hot-key detection): one
+        # corpus pass instead of two; counts are the Σest lower bounds,
+        # membership is a guaranteed superset of the > n/(k+1) items
+        return rd.from_arrow(pa.table({
+            col: cand, "cnt": pa.nulls(len(cand), pa.int64())}))
     cand_ref = ray.put(cand)
 
     def exact_partial(batch: pa.Table) -> pa.Table:

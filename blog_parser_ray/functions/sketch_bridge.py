@@ -9,9 +9,13 @@ import ray.data as rd
 
 
 def heavy_keys(ds: rd.Dataset, col: str, k: int = 32) -> pa.Array:
-    """Keys with frequency > n/(k+1), as an Arrow array (≤ k values, in
-    the column's ORIGINAL type) — the exact-counted Misra–Gries output of
-    functions/sketch.py heavy_hitters. Non-string keys round-trip through
+    """A guaranteed SUPERSET (≤ 2(k+1) values) of the keys with
+    frequency > n/(k+1), as an Arrow array in the column's ORIGINAL
+    type — sketch-only mode: hot-key detection needs membership, not
+    exact counts, so the exact second pass is skipped (one corpus pass
+    saved; a few false-positive "hot" keys only broadcast a few extra
+    dim rows). Built on functions/sketch.py heavy_hitters'
+    margin-pruned candidate reduction. Non-string keys round-trip through
     a string cast (heavy_hitters' total-row sentinel lives in the string
     domain); int↔string casting is exact, and the ≤ k hot values cast
     back losslessly."""
@@ -28,6 +32,6 @@ def heavy_keys(ds: rd.Dataset, col: str, k: int = 32) -> pa.Array:
         return pa.table({col: pc.cast(c, pa.string())})
 
     out = heavy_hitters(ds.map_batches(as_str, batch_format="pyarrow"),
-                        col, k=k).to_pandas()
+                        col, k=k, exact=False).to_pandas()
     return pc.cast(pa.array(out[col].tolist(), type=pa.string()),
                    orig_type)
