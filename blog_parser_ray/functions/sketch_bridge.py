@@ -33,5 +33,6 @@ def heavy_keys(ds: rd.Dataset, col: str, k: int = 32) -> pa.Array:
 
     out = heavy_hitters(ds.map_batches(as_str, batch_format="pyarrow"),
                         col, k=k, exact=False).to_pandas()
-    return pc.cast(pa.array(out[col].tolist(), type=pa.string()),
-                   orig_type)
+    # Ray quirk: to_pandas() on an EMPTY Dataset drops the columns
+    vals = out[col].tolist() if col in out.columns else []
+    return pc.cast(pa.array(vals, type=pa.string()), orig_type)

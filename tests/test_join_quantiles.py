@@ -322,3 +322,44 @@ def test_embedding_dedup_incremental_drops_cross_shard():
     assert got & set(range(8)) == set(), got   # near-copies dropped
     # fresh random gaussians are near-orthogonal to everything: survive
     assert set(range(8, 16)) <= got, got
+
+
+def test_skew_join_uniform_keys_falls_back_to_plain_plan():
+    """No hot keys → skew_join must route through equi_join and still be
+    exact."""
+    import pandas as pd
+
+    from blog_parser_ray.functions.join import equi_join, skew_join
+
+    rng = np.random.default_rng(17)
+    keys = rng.integers(0, 5000, 20_000).astype(np.int64)  # uniform
+    left = pa.table({"k": pa.array(keys),
+                     "v": pa.array(np.arange(20_000, dtype=np.int64))})
+    right = pa.table({"rk": pa.array(np.arange(5000, dtype=np.int64)),
+                      "w": pa.array(np.arange(5000, dtype=np.int64) * 3)})
+
+    def norm(ds):
+        return (ds.to_pandas().sort_values(["k", "v"])
+                .reset_index(drop=True)[["k", "v", "w"]])
+
+    got = norm(skew_join(rd.from_arrow(left).repartition(4),
+                         rd.from_arrow(right).repartition(2),
+                         left_on="k", right_on="rk", hot_k=8))
+    want = norm(equi_join(rd.from_arrow(left).repartition(4),
+                          rd.from_arrow(right).repartition(2),
+                          left_on="k", right_on="rk", broadcast_limit=0))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_chunk_batch_edges():
+    from blog_parser_ray.functions.text import chunk_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array(["", "a b", " ".join(["w"] * 64)])})
+    out = chunk_batch(t, size=32, stride=24).to_pandas()
+    # empty text → one chunk (the [''] word); 2 words → one chunk;
+    # 64 words → starts at 0, 24, 48 → three chunks (32, 32, 16 words)
+    assert out[out.doc_id == 1]["n_words"].tolist() == [1]
+    assert out[out.doc_id == 2]["chunk"].tolist() == ["a b"]
+    assert out[out.doc_id == 3]["n_words"].tolist() == [32, 32, 16]
+    assert out[out.doc_id == 3]["chunk_id"].tolist() == [0, 1, 2]
