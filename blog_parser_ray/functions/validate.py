@@ -70,7 +70,10 @@ def validate(ds: rd.Dataset, rules: list[tuple]) -> pa.Table:
         reduced = (ds.map_batches(partial, batch_format="pyarrow")
                    .groupby("check_name").aggregate(Sum("v", alias_name="v"))
                    .to_pandas())
-        out_rows.update(zip(reduced["check_name"], reduced["v"].astype(int)))
+        if "check_name" in reduced.columns:  # empty input: Ray's
+            # to_pandas drops the columns of an empty Dataset
+            out_rows.update(zip(reduced["check_name"],
+                                reduced["v"].astype(int)))
 
     for r in unique_rules:
         col = r[1]
