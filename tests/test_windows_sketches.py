@@ -536,3 +536,31 @@ def test_approx_distinct_grouped_rejects_null_groups():
                   "u": pa.array([1, 2], type=pa.int64())})
     with _pytest.raises(Exception, match="null values in group column"):
         approx_distinct_grouped(rd.from_arrow(t), "u", "g").materialize()
+
+
+def test_round4_ops_partition_invariant():
+    """New-operator results must be identical across block layouts."""
+    from blog_parser_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    names = ["heavy_words", "daily_active_users", "repetition_ratio",
+             "dup_span_pairs", "chunk_docs", "validate_orders",
+             "priority_spend_share", "grouped_regr"]
+
+    def norm(obj):
+        df = obj.to_pandas() if not isinstance(obj, pd.DataFrame) else obj
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    import blog_parser_ray.pipelines.queries as qmod
+    orig_read = qmod._read
+    for name in names:
+        a = norm(QUERIES[name](sf))
+        try:
+            # force a different block layout under the same query
+            qmod._read = lambda s, t, c=None: orig_read(s, t, c
+                                                        ).repartition(7)
+            b = norm(QUERIES[name](sf))
+        finally:
+            qmod._read = orig_read
+        pd.testing.assert_frame_equal(a, b, check_dtype=False), name
