@@ -3335,6 +3335,49 @@ def validate_orders(sf_dir: str):
     ])
 
 
+def _pagerank_sql(iters: int = 3) -> str:
+    sql = """
+WITH e AS (SELECT l_orderkey AS src, l_partkey + 1000000000 AS dst
+           FROM lineitem),
+nodes AS (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT v, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+          AS r FROM nodes)"""
+    for t in range(iters):
+        sql += f""",
+pr{t + 1} AS (
+  SELECT nodes.v,
+         CAST((150000000000 // (SELECT n FROM nn))
+              + 85 * coalesce(s.inc, 0) // 100 AS BIGINT) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS v, sum(p.r // deg.d) AS inc
+    FROM e JOIN pr{t} p ON p.v = e.src JOIN deg ON deg.src = e.src
+    GROUP BY 1) s USING (v))"""
+    return sql + f"\nSELECT v, r FROM pr{iters}"
+
+
+@q("pagerank_parts", _pagerank_sql(3))
+def pagerank_parts(sf_dir: str):
+    """Iterative distributed dataflow: 3 steps of EXACT INTEGER PageRank
+    (functions/graph.py pagerank_int) over the bipartite order→part
+    graph. Integer fixed-point arithmetic makes every step
+    order-independent and the unrolled-CTE oracle hash-exact — the
+    iterative-join shape (rank⋈edges → contribution → groupby →
+    node-table left join, per step) is what a 100 TB graph pass looks
+    like; floats would make it layout-dependent."""
+    from ..functions.graph import pagerank_int
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = ds.map_batches(
+        lambda b: pa.table({
+            "src": b["l_orderkey"],
+            "dst": pc.add(b["l_partkey"], 1_000_000_000)}),
+        batch_format="pyarrow")
+    return pagerank_int(edges, iters=3)
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).

@@ -564,3 +564,33 @@ def test_round4_ops_partition_invariant():
         finally:
             qmod._read = orig_read
         pd.testing.assert_frame_equal(a, b, check_dtype=False), name
+
+
+def test_pagerank_int_matches_numpy_replay():
+    from blog_parser_ray.functions.graph import pagerank_int
+
+    rng = np.random.default_rng(41)
+    src = rng.integers(0, 200, 1500).astype(np.int64)
+    dst = rng.integers(0, 200, 1500).astype(np.int64)
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    out = (pagerank_int(rd.from_arrow(edges).repartition(4), iters=4)
+           .to_pandas().set_index("v")["r"])
+
+    # exact integer replay
+    scale, num, den = 10 ** 12, 85, 100
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    deg = np.zeros(n, dtype=np.int64)
+    for s in src:
+        deg[idx[s]] += 1
+    r = np.full(n, scale // n, dtype=object)
+    base = ((den - num) * scale // den) // n
+    for _ in range(4):
+        inc = np.zeros(n, dtype=object)
+        for s, d in zip(src, dst):
+            inc[idx[d]] += int(r[idx[s]]) // int(deg[idx[s]])
+        r = np.array([base + num * int(x) // den for x in inc],
+                     dtype=object)
+    for v in nodes:
+        assert int(out[v]) == int(r[idx[v]]), v
