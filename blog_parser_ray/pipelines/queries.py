@@ -3378,6 +3378,57 @@ def pagerank_parts(sf_dir: str):
     return pagerank_int(edges, iters=3)
 
 
+@q("triangle_count", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+g0 AS (SELECT doc_id,
+              array_to_string(list_slice(arr, i, i + 2), ' ') AS g
+       FROM w, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS t(i)),
+g AS (SELECT DISTINCT doc_id, g FROM g0),
+e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM e e1 JOIN e e2 ON e1.b = e2.a
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+         AS n_triangles
+""")
+def triangle_count(sf_dir: str):
+    """Graph-analytics capstone COMPOSING the round-4 primitives:
+    similarity edges from shared 3-word spans (shared_span_pairs) →
+    wedge join (E⋈E on the middle vertex; a<b<c for free from edge
+    ordering) → wedge closure via the MULTI-KEY join
+    (equi_join_multi on the (a, c) tuple) → one count. 33k triangles
+    over 11.5k edges at sf0.01, hash-exact vs the SQL 3-way self-join.
+    All joins are edge/wedge-sized — the corpus text never reappears
+    after the span pass."""
+    from ..functions.dedup import shared_span_pairs
+    from ..functions.join import equi_join, equi_join_multi
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    e = (shared_span_pairs(docs, n=3)
+         .map_batches(lambda b: pa.table({"a": b["a"], "b": b["b"]}),
+                      batch_format="pyarrow").materialize())
+    n_edges = e.count()
+    wedges = equi_join(
+        e,
+        e.map_batches(lambda b: pa.table({"b2": b["a"], "c": b["b"]}),
+                      batch_format="pyarrow"),
+        left_on="b", right_on="b2", broadcast_limit=0).map_batches(
+        lambda b: b.select(["a", "b", "c"]), batch_format="pyarrow")
+    closed = equi_join_multi(
+        wedges,
+        e.map_batches(lambda b: pa.table({"ea": b["a"], "eb": b["b"]}),
+                      batch_format="pyarrow"),
+        left_on=["a", "c"], right_on=["ea", "eb"], broadcast_limit=0)
+
+    def cnt(b: pa.Table) -> pa.Table:
+        return pa.table({"t": pa.array([b.num_rows], type=pa.int64())})
+
+    n_tri = int(closed.map_batches(cnt, batch_format="pyarrow")
+                .sum("t") or 0)
+    return pa.table({"n_edges": pa.array([n_edges], type=pa.int64()),
+                     "n_triangles": pa.array([n_tri], type=pa.int64())})
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).
