@@ -3441,7 +3441,8 @@ _DRIVER_PRIORITY = [
     #    docs_by_source_skewsafe, dedup_incremental_docs,
     #    dedup_incremental_near, dedup_incremental_embed,
     #    dup_span_pairs, chunk_docs, validate_orders,
-    #    price_zscore_by_flag, price_clip_outliers) defer to round 5:
+    #    price_zscore_by_flag, price_clip_outliers, pagerank_parts,
+    #    triangle_count) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
