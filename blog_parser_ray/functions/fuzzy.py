@@ -1,0 +1,244 @@
+"""Edit-distance (Levenshtein) string-similarity self-join.
+
+A fourth near-dup family next to MinHash / SimHash / embedding-LSH
+(functions/dedup.py): exact small-edit matching — "same name up to k
+typos" — the classic entity-resolution / fuzzy-join primitive. SQL
+equivalent: ``a JOIN b ON block AND levenshtein(a.name, b.name) <= k``
+(DuckDB's integer ``levenshtein`` is the oracle, so results are
+hash-exact — no float discipline needed).
+
+Scale design (all stages are Dataset stages; nothing all-pairs):
+
+1. DISTINCT-VALUE REDUCE — distances depend only on the string values,
+   so the corpus first collapses to distinct names (one thin shuffle of
+   the name column). Zipf-shaped text columns collapse by orders of
+   magnitude; every later stage is distinct-name-scale, not row-scale.
+2. DELETION-NEIGHBORHOOD BLOCKING (the SymSpell invariant): if
+   ``lev(a, b) <= k`` then deleting <= k characters from each side can
+   reach a COMMON string, so bucketing every <=k-deletion variant of
+   every distinct name catches every true pair — a provably complete
+   candidate set with no quadratic pass. Variant rows (hash, name) are
+   the only expansion: ~1 + L + C(L,2) variants per name for k=2.
+3. VECTORIZED DP VERIFY — candidate pairs get an exact Levenshtein
+   distance from a numpy DP over padded byte matrices; the insertion
+   chain's left-to-right dependency is folded into a prefix-min
+   (``np.minimum.accumulate`` on dp-minus-column-index), so the kernel
+   is O(max_len) vector ops per DP row with NO per-cell Python loop.
+4. EXPANSION JOIN — verified (name_a, name_b, dist) pairs (both
+   directions + the dist-0 diagonal for duplicate names) join back to
+   row keys within the blocking column via the repo's partitioned
+   equi-joins; only thin (key, name, block) columns shuffle.
+
+Known truncation (logged, same policy as _lsh_candidate_pairs): a
+variant bucket larger than ``max_bucket`` names is truncated — such a
+bucket means thousands of distinct names within k edits of one string,
+where exact-dedup/normalization is the right tool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..hashing import stable_hash_strings
+from .join import equi_join, equi_join_multi
+from .util import arrow_out
+from .dedup import _dedup_pairs_ds
+
+
+def levenshtein_vec(a_list: list[bytes], b_list: list[bytes]) -> np.ndarray:
+    """Exact Levenshtein distance for P string pairs at once.
+
+    Classic DP, vectorized ACROSS pairs: one (P, Bmax+1) row per DP step.
+    cur[j] = min(t[j], cur[j-1]+1) with t = min(substitution, deletion)
+    is a prefix-min in disguise — cur[j] = min_{l<=j}(t[l] + j - l) — so
+    it's computed as ``np.minimum.accumulate(t - arange) + arange``
+    with no inner scan. O(Amax) python iterations total (name length,
+    not pair count)."""
+    P = len(a_list)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.fromiter((len(x) for x in a_list), np.int64, P)
+    lb = np.fromiter((len(x) for x in b_list), np.int64, P)
+    Am, Bm = int(la.max()), int(lb.max())
+    A = np.zeros((P, max(Am, 1)), dtype=np.uint8)
+    B = np.zeros((P, max(Bm, 1)), dtype=np.uint8)
+    for i, s in enumerate(a_list):
+        if s:
+            A[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    for i, s in enumerate(b_list):
+        if s:
+            B[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    jr = np.arange(Bm + 1, dtype=np.int32)
+    prev = np.broadcast_to(jr, (P, Bm + 1)).copy()
+    res = prev.copy()                     # rows with la == 0: dist = lb
+    for i in range(1, Am + 1):
+        sub = prev[:, :-1] + (A[:, i - 1][:, None] != B[:, :Bm]).astype(np.int32)
+        t = np.empty_like(prev)
+        t[:, 0] = i
+        np.minimum(sub, prev[:, 1:] + 1, out=t[:, 1:])
+        cur = np.minimum.accumulate(t - jr, axis=1) + jr
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit]
+        prev = cur
+    return res[np.arange(P), lb].astype(np.int64)
+
+
+def _deletion_variants(name: str, k: int) -> set[str]:
+    """All strings reachable by deleting <= k characters (incl. name)."""
+    out = {name}
+    frontier = {name}
+    for _ in range(k):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                nxt.add(s[:i] + s[i + 1:])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def edit_distance_pairs(names: rd.Dataset, *, name_col: str = "name",
+                        k: int = 2, n_parts: int = 64,
+                        max_bucket: int = 2048) -> rd.Dataset:
+    """DISTINCT names → verified (na, nb, dist) pairs with na < nb and
+    ``lev <= k``. The deletion-variant loop is per DISTINCT name (the
+    stage after the distinct reduce — cardinality is unique-value count,
+    not corpus rows), so the comprehension is not a hot row path."""
+    import logging
+
+    import pandas as pd
+
+    def variants(batch: pa.Table) -> pa.Table:
+        nm_in = batch[name_col].to_pylist()
+        nms, vs = [], []
+        for nm in nm_in:
+            if nm is None:
+                continue
+            for v in _deletion_variants(nm, k):
+                nms.append(nm)
+                vs.append(v)
+        key = stable_hash_strings(pa.array(vs, type=pa.string()))
+        return pa.table({
+            "key": pa.array(key.astype(np.int64)),
+            "name": pa.array(nms, type=pa.string()),
+            "_pid": pa.array((key % np.uint64(n_parts)).astype(np.int64)),
+        })
+
+    keyed = names.map_batches(variants, batch_format="pyarrow")
+
+    # same segment-scan + triu expansion as _lsh_candidate_pairs, with
+    # string ids; duplicate (variant, name) rows from hash-colliding
+    # variants of ONE name are dropped before expansion.
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            d = g["name"]
+            return pd.DataFrame({"a": d, "b": d})
+        g = g.drop_duplicates(subset=["key", "name"]).sort_values(
+            ["key", "name"], kind="mergesort")
+        kk = g["key"].to_numpy()
+        d = g["name"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        sizes = np.diff(np.r_[starts, len(kk)])
+        a_out, b_out = [], []
+        for s in np.flatnonzero(sizes > 1):
+            m = int(sizes[s])
+            if m > max_bucket:
+                logging.getLogger(__name__).warning(
+                    "fuzzy variant bucket truncated: %d names > "
+                    "max_bucket=%d", m, max_bucket)
+                m = max_bucket
+            ids = d[starts[s]:starts[s] + m]
+            ai, bj = np.triu_indices(m, k=1)
+            a_out.append(ids[ai])
+            b_out.append(ids[bj])
+        if not a_out:
+            return pd.DataFrame({"a": np.array([], dtype=object),
+                                 "b": np.array([], dtype=object)})
+        return pd.DataFrame({"a": np.concatenate(a_out),
+                             "b": np.concatenate(b_out)})
+
+    raw = keyed.groupby("_pid").map_groups(
+        arrow_out(per_part), batch_format="pandas")
+    cand = _dedup_pairs_ds(raw, n_parts, cols=["a", "b"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = [x.encode() for x in batch["a"].to_pylist()]
+        b = [x.encode() for x in batch["b"].to_pylist()]
+        dist = levenshtein_vec(a, b)
+        keep = dist <= k
+        t = batch.filter(pa.array(keep))
+        return pa.table({"na": t["a"], "nb": t["b"],
+                         "dist": pa.array(dist[keep])})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def fuzzy_self_join(ds: rd.Dataset, *, key_col: str, name_col: str,
+                    block_col: str, k: int = 2,
+                    n_parts: int = 64) -> rd.Dataset:
+    """All row pairs within the same ``block_col`` whose ``name_col``
+    values are within Levenshtein distance k — (block, a_key, b_key,
+    dist) with a_key < b_key. Includes identical-name pairs (dist 0):
+    the SQL contract is ``lev <= k``, which equal strings satisfy.
+
+    Both expansion joins move only thin (key, name, block) columns; the
+    verified name-pair table is distinct-name-pair-scale and never the
+    corpus."""
+    # native Dataset.join spawns one aggregator actor per partition —
+    # derive join parallelism from the cluster, NOT from the shuffle
+    # n_parts, or a small cluster deadlocks (ray-data gotcha).
+    join_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    rows = ds.map_batches(
+        lambda b, kc=key_col, nc=name_col, bc=block_col: pa.table({
+            "a_key": pc.cast(b[kc], pa.int64()),
+            "na": b[nc], "block": b[bc]}),
+        batch_format="pyarrow")
+    # names and pairs are each consumed by two+ downstream branches; both
+    # are distinct-name-scale — materialize once, don't re-execute.
+    names = (rows.groupby("na").count()
+             .map_batches(lambda b: pa.table({"name": b["na"]}),
+                          batch_format="pyarrow").materialize())
+    pairs = edit_distance_pairs(names, name_col="name", k=k,
+                                n_parts=n_parts).materialize()
+    # both directions + the dist-0 diagonal, so one inner join per side
+    # covers (a from either name) and duplicate-name pairs; a_key < b_key
+    # at the end keeps each unordered row pair exactly once.
+    fwd = pairs.map_batches(
+        lambda b: pa.table({"pna": b["na"], "pnb": b["nb"],
+                            "dist": b["dist"]}),
+        batch_format="pyarrow")
+    rev = pairs.map_batches(
+        lambda b: pa.table({"pna": b["nb"], "pnb": b["na"],
+                            "dist": b["dist"]}),
+        batch_format="pyarrow")
+    diag = names.map_batches(
+        lambda b: pa.table({
+            "pna": b["name"], "pnb": b["name"],
+            "dist": pa.array(np.zeros(b.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+    pdir = fwd.union(rev).union(diag)
+
+    j1 = equi_join(rows, pdir, left_on="na", right_on="pna",
+                   broadcast_limit=0, num_partitions=join_parts)
+    rows_b = ds.map_batches(
+        lambda b, kc=key_col, nc=name_col, bc=block_col: pa.table({
+            "b_key": pc.cast(b[kc], pa.int64()),
+            "nb2": b[nc], "block_b": b[bc]}),
+        batch_format="pyarrow")
+    j2 = equi_join_multi(j1, rows_b, left_on=["pnb", "block"],
+                         right_on=["nb2", "block_b"], broadcast_limit=0,
+                         num_partitions=join_parts)
+
+    def fin(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["a_key"], b["b_key"])
+        t = b.filter(keep)
+        return pa.table({block_col: t["block"], "a_key": t["a_key"],
+                         "b_key": t["b_key"], "dist": t["dist"]})
+
+    return j2.map_batches(fin, batch_format="pyarrow")

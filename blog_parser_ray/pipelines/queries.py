@@ -3429,6 +3429,35 @@ def triangle_count(sf_dir: str):
                      "n_triangles": pa.array([n_tri], type=pa.int64())})
 
 
+@q("fuzzy_pairs_brand", """
+SELECT a.p_brand AS p_brand,
+       CAST(a.p_partkey AS BIGINT) AS a_key,
+       CAST(b.p_partkey AS BIGINT) AS b_key,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""")
+def fuzzy_pairs_brand(sf_dir: str):
+    """Edit-distance string-similarity self-join (fuzzy join, the
+    entity-resolution primitive): all part pairs in the same brand whose
+    names are within Levenshtein distance 2. Distinct-name reduce →
+    SymSpell deletion-neighborhood blocking (provably complete for
+    lev<=k) → vectorized prefix-min DP verify → thin expansion joins;
+    nothing all-pairs, nothing on the driver (functions/fuzzy.py).
+    Integer distance vs DuckDB's levenshtein — hash-exact, no float
+    discipline needed."""
+    from ..functions.fuzzy import fuzzy_self_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    out = fuzzy_self_join(part, key_col="p_partkey", name_col="p_name",
+                          block_col="p_brand", k=2)
+    return out.map_batches(
+        lambda b: pa.table({"p_brand": b["p_brand"], "a_key": b["a_key"],
+                            "b_key": b["b_key"], "dist": b["dist"]}),
+        batch_format="pyarrow")
+
+
 _DRIVER_PRIORITY = [
     # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
     # unverified; every new/changed implementation is in the next 50).
