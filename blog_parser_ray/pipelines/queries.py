@@ -3429,6 +3429,147 @@ def triangle_count(sf_dir: str):
                      "n_triangles": pa.array([n_tri], type=pa.int64())})
 
 
+@q("funnel_3step", """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+     s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+     s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT s1.user_id AS user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+         AS reached
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""")
+def funnel_3step(sf_dir: str):
+    """3-step event funnel (signup → click → purchase, strictly
+    increasing timestamps): per user, the furthest step reached. The
+    classic product-analytics sequence query, computed as iterated
+    first-event-after joins — each step is one type-filtered pass +
+    one keyed join + one grouped min, so per-step data volume shrinks
+    monotonically and nothing is corpus-wide. Timestamps compare as
+    int64 microseconds (exact); output is (user_id, reached∈{1,2,3})
+    — all integers, hash-exact vs the SQL CTE chain."""
+    from ..functions.join import equi_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"]).map_batches(
+        lambda b: pa.table({"user_id": b["user_id"],
+                            "event_type": b["event_type"],
+                            "tsi": pc.cast(b["ts"], pa.int64())}),
+        batch_format="pyarrow")
+
+    def only(etype: str) -> rd.Dataset:
+        return ev.map_batches(
+            lambda b, et=etype: b.filter(pc.equal(b["event_type"], et))
+                                 .select(["user_id", "tsi"]),
+            batch_format="pyarrow")
+
+    def first_of(etype: str) -> rd.Dataset:
+        return only(etype).groupby("user_id").min("tsi")
+
+    def first_after(etype: str, prev: rd.Dataset, tcol: str) -> rd.Dataset:
+        sub = only(etype)
+        pr = prev.map_batches(
+            lambda b, tc=tcol: pa.table({"u2": b["user_id"],
+                                         tc: b["min(tsi)"]}),
+            batch_format="pyarrow")
+        j = equi_join(sub, pr, left_on="user_id", right_on="u2")
+        return (j.map_batches(
+            lambda b, tc=tcol: b.filter(pc.greater(b["tsi"], b[tc]))
+                                .select(["user_id", "tsi"]),
+            batch_format="pyarrow")
+            .groupby("user_id").min("tsi"))
+
+    s1 = first_of("signup").materialize()
+    s2 = first_after("click", s1, "t1").materialize()
+    s3 = first_after("purchase", s2, "t2").materialize()
+
+    base = s1.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"]}), batch_format="pyarrow")
+    m2 = s2.map_batches(
+        lambda b: pa.table({"u2": b["user_id"],
+                            "t2": b["min(tsi)"]}), batch_format="pyarrow")
+    m3 = s3.map_batches(
+        lambda b: pa.table({"u3": b["user_id"],
+                            "t3": b["min(tsi)"]}), batch_format="pyarrow")
+    f = equi_join(equi_join(base, m2, left_on="user_id", right_on="u2",
+                            how="left"),
+                  m3, left_on="user_id", right_on="u3", how="left")
+    return f.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "reached": pc.if_else(
+                pc.is_valid(b["t3"]), pa.scalar(3, pa.int64()),
+                pc.if_else(pc.is_valid(b["t2"]),
+                           pa.scalar(2, pa.int64()),
+                           pa.scalar(1, pa.int64())))}),
+        batch_format="pyarrow")
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+@q("wau_sliding", """
+WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   user_id FROM events),
+     days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+              FROM events)
+SELECT days.d AS day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+FROM days JOIN du ON du.d >= days.d - INTERVAL 6 DAY AND du.d <= days.d
+GROUP BY days.d
+""")
+def wau_sliding(sf_dir: str):
+    """7-day sliding distinct users per observed day (weekly-active-
+    users) — SLIDING DISTINCT, the aggregate a tumbling groupby cannot
+    express. Plan: distinct (day, user) pairs (one thin shuffle ≪
+    events), each pair REPLICATED to the <=7 observed days whose window
+    contains it (vectorized tile + np.isin against the broadcast
+    observed-day list — calendar-day-scale, trivially small), then the
+    repo's exact grouped COUNT(DISTINCT) (stages/agg.py
+    distinct_count_by: pair-hash shuffle + partial counts). Shuffle
+    volume is distinct-pair rows ×7, never raw events."""
+    from ..stages.agg import distinct_count_by
+
+    pairs = (_read(sf_dir, "events", ["user_id", "ts"])
+             .map_batches(
+                 lambda b: pa.table({
+                     # int64 // int64 truncates == floor for post-epoch ts
+                     "d": pc.divide(pc.cast(b["ts"], pa.int64()),
+                                    _US_PER_DAY),
+                     "user_id": b["user_id"]}),
+                 batch_format="pyarrow")
+             .groupby(["d", "user_id"]).count()
+             .map_batches(lambda b: b.select(["d", "user_id"]),
+                          batch_format="pyarrow")
+             .materialize())
+    obs = np.sort(np.array(
+        [r["d"] for r in pairs.groupby("d").count().take_all()],
+        dtype=np.int64))
+
+    def expand(b: pa.Table, days: np.ndarray = obs) -> pa.Table:
+        d = b["d"].to_numpy()
+        u = b["user_id"].to_pandas().to_numpy()
+        dd = (d[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
+        uu = np.repeat(u, 7)
+        keep = np.isin(dd, days)
+        return pa.table({"day": pa.array(dd[keep]),
+                         "user_id": pa.array(uu[keep])})
+
+    wau = distinct_count_by(
+        pairs.map_batches(expand, batch_format="pyarrow"),
+        ["day"], "user_id", alias="wau")
+    return wau.map_batches(
+        lambda b: pa.table({
+            "day": pc.multiply(b["day"], _US_PER_DAY)
+                     .cast(pa.timestamp("us")),
+            "wau": pc.cast(b["wau"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 @q("fuzzy_pairs_brand", """
 SELECT a.p_brand AS p_brand,
        CAST(a.p_partkey AS BIGINT) AS a_key,
