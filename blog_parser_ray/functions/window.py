@@ -457,6 +457,41 @@ def edge_values(ds: rd.Dataset, *, key: str, order_col: str, tiebreak: str,
             .drop_columns(["_pid"]))
 
 
+def cume_dist(ds: rd.Dataset, *, key: str, order_col: str, tiebreak: str,
+              cd_col: str = "cd",
+              n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """CUME_DIST() OVER (PARTITION BY key ORDER BY order_col): fraction of
+    the key's rows with order value <= this row's — PEER-GROUP aware
+    (ties share the distribution value of their group's LAST row), unlike
+    percent_rank which needs the deterministic total order. ``tiebreak``
+    only fixes the physical layout; the result is tie-invariant. One
+    exact-integer IEEE division per row, floor-rounded to 4 places (same
+    formula in the oracle)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[cd_col] = pd.Series([], dtype="float64")
+            return out
+        g, first, start = _segment_sorted(g, key, [order_col, tiebreak])
+        n = len(g)
+        ov = g[order_col].to_numpy()
+        peer_first = first.copy()
+        peer_first[1:] |= ov[1:] != ov[:-1]
+        pf_idx = np.flatnonzero(peer_first)
+        sizes = np.diff(np.r_[pf_idx, n])
+        peer_end = np.repeat(np.r_[pf_idx[1:], n] - 1, sizes)
+        cnt, _ = _key_sizes(first)
+        cd = (peer_end - start + 1) / cnt
+        out = g.copy()
+        out[cd_col] = np.floor(cd * 10000 + 0.5) / 10000
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
+            .drop_columns(["_pid"]))
+
+
 def lead_diff_us(ds: rd.Dataset, *, key: str, ts_col: str, tiebreak: str,
                  out_col: str = "next_us", fill: int = -1,
                  n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:

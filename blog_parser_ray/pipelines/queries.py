@@ -3510,6 +3510,30 @@ def funnel_3step(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("orders_cume_dist", """
+SELECT o_custkey, o_orderkey,
+       floor(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+             * 10000 + 0.5) / 10000 AS cd
+FROM orders
+""")
+def orders_cume_dist(sf_dir: str):
+    """CUME_DIST per customer ordered by order date — the peer-group-aware
+    rank distribution (ties on the date share one value), completing the
+    rank family (rank / percent_rank / ntile / cume_dist) on the same
+    hash-partitioned sort-segment kernel (functions/window.py
+    cume_dist). Exact rational cnt_le/cnt, floor-rounded to 4 on both
+    sides."""
+    from ..functions.window import cume_dist
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"])
+    out = cume_dist(orders, key="o_custkey", order_col="o_orderdate",
+                    tiebreak="o_orderkey", cd_col="cd")
+    return out.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "cd"]),
+        batch_format="pyarrow")
+
+
 _US_PER_DAY = 86_400_000_000
 
 
