@@ -3594,6 +3594,60 @@ def wau_sliding(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("cohort_retention", """
+WITH fu AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+            FROM events GROUP BY user_id),
+     au AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+            FROM events)
+SELECT CAST(fu.cw AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('day', fu.cw, au.aw) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS users
+FROM fu JOIN au ON fu.user_id = au.user_id
+GROUP BY 1, 2
+""")
+def cohort_retention(sf_dir: str):
+    """Weekly cohort-retention matrix: users grouped by the ISO week of
+    their FIRST event, counted in every later week they were active —
+    the standard (cohort_week × week_offset → users) analytics triangle.
+    Weeks are computed in pure int64 arithmetic ((day − 4) // 7 — epoch
+    day 4 = Monday 1970-01-05, matching DuckDB's Monday-start
+    date_trunc('week')), so every value is integer-exact. Plan: grouped
+    min (first event) + distinct (user, week) pairs (both thin shuffles)
+    + one keyed join + a small groupby — nothing corpus-wide after the
+    two first passes."""
+    from ..functions.join import equi_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            # int64 truncation == floor: post-epoch days (d≈19700) ≥ 4
+            "w": pc.divide(
+                pc.subtract(pc.divide(pc.cast(b["ts"], pa.int64()),
+                                      _US_PER_DAY), 4), 7)}),
+        batch_format="pyarrow")
+    fu = (ev.groupby("user_id").min("w")
+          .map_batches(lambda b: pa.table({"u2": b["user_id"],
+                                           "cw": b["min(w)"]}),
+                       batch_format="pyarrow"))
+    au = (ev.groupby(["user_id", "w"]).count()
+          .map_batches(lambda b: b.select(["user_id", "w"]),
+                       batch_format="pyarrow"))
+    j = equi_join(au, fu, left_on="user_id", right_on="u2")
+    return (j.map_batches(
+        lambda b: pa.table({"cw": b["cw"],
+                            "week_offset": pc.subtract(b["w"], b["cw"])}),
+        batch_format="pyarrow")
+        .groupby(["cw", "week_offset"]).count()
+        .map_batches(
+            lambda b: pa.table({
+                "cohort_week": pc.multiply(
+                    pc.add(pc.multiply(b["cw"], 7), 4), _US_PER_DAY)
+                    .cast(pa.timestamp("us")),
+                "week_offset": b["week_offset"],
+                "users": pc.cast(b["count()"], pa.int64())}),
+            batch_format="pyarrow"))
+
+
 @q("fuzzy_pairs_brand", """
 SELECT a.p_brand AS p_brand,
        CAST(a.p_partkey AS BIGINT) AS a_key,
