@@ -3690,7 +3690,9 @@ _DRIVER_PRIORITY = [
     #    dedup_incremental_near, dedup_incremental_embed,
     #    dup_span_pairs, chunk_docs, validate_orders,
     #    price_zscore_by_flag, price_clip_outliers, pagerank_parts,
-    #    triangle_count) defer to round 5:
+    #    triangle_count, and the round-4-tail additions funnel_3step,
+    #    wau_sliding, orders_cume_dist, cohort_retention,
+    #    fuzzy_pairs_brand) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at

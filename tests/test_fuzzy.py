@@ -56,6 +56,27 @@ def test_deletion_neighborhood_complete_for_k2():
     assert checked > 50  # the corpus actually exercised the invariant
 
 
+def test_fuzzy_partitioned_plan_matches_broadcast_plan():
+    """Plan equivalence: broadcast_limit=0 forces the partitioned
+    two-join expansion (the 100 TB path); output must be identical to
+    the default broadcast expansion."""
+    from blog_parser_ray.functions.fuzzy import fuzzy_self_join
+    from blog_parser_ray.sources.readers import read_parquet_clean
+
+    sf = "/root/testdata/sf0.001"
+    part = read_parquet_clean(f"{sf}/part.parquet",
+                              columns=["p_partkey", "p_name", "p_brand"])
+    kw = dict(key_col="p_partkey", name_col="p_name",
+              block_col="p_brand", k=2)
+    cols = ["p_brand", "a_key", "b_key", "dist"]
+    bcast = (fuzzy_self_join(part, **kw).to_pandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+    parted = (fuzzy_self_join(part, broadcast_limit=0, **kw)
+              .to_pandas()[cols].sort_values(cols).reset_index(drop=True))
+    assert len(bcast) == len(parted) > 0
+    assert bcast.equals(parted)
+
+
 def test_fuzzy_self_join_matches_bruteforce():
     import pyarrow.parquet as pq
 
