@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from .. import schema as _schema
 from ..config import bridge_spec
 from ..stages import agg
 from ..stages.enrich import build_dim_table
@@ -3594,6 +3595,63 @@ def wau_sliding(sf_dir: str):
         batch_format="pyarrow")
 
 
+_VOCAB_VALUES_SQL = ", ".join(
+    f"('{w}', {i})"
+    for i, w in enumerate(_schema.VOCAB_WORDS, start=_schema.N_SPECIALS))
+
+
+@q("tokens_explode", f"""
+WITH seqt AS (
+  SELECT source || '/2024-01-01/' || CAST(doc_id AS VARCHAR) AS sid, text
+  FROM documents
+  WHERE source = 'src0' AND doc_id % 28 = 0),
+words AS (
+  SELECT sid, unnest(string_split(text, ' ')) AS w,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+  FROM seqt),
+vocab(w, tid) AS (VALUES {_VOCAB_VALUES_SQL})
+SELECT sid AS doc_id, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS tok
+FROM seqt
+UNION ALL
+SELECT words.sid, words.pos, CAST(vocab.tid AS BIGINT)
+FROM words JOIN vocab ON words.w = vocab.w
+UNION ALL
+SELECT sid, CAST(length(text) - length(replace(text, ' ', '')) + 2 AS BIGINT),
+       CAST(1 AS BIGINT)
+FROM seqt
+""")
+def tokens_explode(sf_dir: str):
+    """Positional token explode (UNNEST WITH ORDINALITY over the token
+    arrays): one output row per (sequence, position, token id) for the
+    src0 / 2024-01-01 shard — the token-level fan-out every
+    sequence-inspection / vocab-audit pipeline starts with. Pure
+    zero-copy ListArray arithmetic per batch (list_flatten +
+    list_parent_indices + offset-subtracted arange — no Python loop, no
+    shuffle); the oracle rebuilds [BOS]+vocab-ids+[EOS] in SQL from the
+    inlined bridge vocab. The shard filter bounds the comparison table;
+    the operator itself streams at any scale."""
+    seq = _seq_ds(sf_dir)
+
+    def ex(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.starts_with(b["doc_id"], "src0/2024-01-01/"))
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        parent = pc.list_parent_indices(toks)
+        doc = pc.take(t["doc_id"].combine_chunks()
+                      if isinstance(t["doc_id"], pa.ChunkedArray)
+                      else t["doc_id"], parent)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        pos = (np.arange(int(lens.sum()), dtype=np.int64)
+               - np.repeat(starts, lens))
+        return pa.table({"doc_id": doc, "pos": pa.array(pos),
+                         "tok": pc.cast(flat, pa.int64())})
+
+    return seq.map_batches(ex, batch_format="pyarrow")
+
+
 @q("cohort_retention", """
 WITH fu AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
             FROM events GROUP BY user_id),
@@ -3692,7 +3750,7 @@ _DRIVER_PRIORITY = [
     #    price_zscore_by_flag, price_clip_outliers, pagerank_parts,
     #    triangle_count, and the round-4-tail additions funnel_3step,
     #    wau_sliding, orders_cume_dist, cohort_retention,
-    #    fuzzy_pairs_brand) defer to round 5:
+    #    fuzzy_pairs_brand, tokens_explode) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
