@@ -3652,6 +3652,134 @@ def tokens_explode(sf_dir: str):
     return seq.map_batches(ex, batch_format="pyarrow")
 
 
+@q("token_bigrams", f"""
+WITH seqt AS (
+  SELECT source || '/2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || '/' || CAST(doc_id AS VARCHAR) AS sid, text
+  FROM documents),
+words AS (
+  SELECT sid, unnest(string_split(text, ' ')) AS w,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+  FROM seqt),
+vocab(w, tid) AS (VALUES {{vocab}}),
+toks AS (
+  SELECT sid, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS tok FROM seqt
+  UNION ALL
+  SELECT words.sid, words.pos, CAST(vocab.tid AS BIGINT)
+  FROM words JOIN vocab ON words.w = vocab.w
+  UNION ALL
+  SELECT sid,
+         CAST(length(text) - length(replace(text, ' ', '')) + 2 AS BIGINT),
+         CAST(1 AS BIGINT)
+  FROM seqt),
+big AS (
+  SELECT tok AS t1, lead(tok) OVER (PARTITION BY sid ORDER BY pos) AS t2
+  FROM toks)
+SELECT t1, t2, CAST(count(*) AS BIGINT) AS cnt
+FROM big WHERE t2 IS NOT NULL GROUP BY t1, t2
+""".replace("{vocab}", _VOCAB_VALUES_SQL))
+def token_bigrams(sf_dir: str):
+    """Corpus-wide token bigram counts (incl. BOS→x and x→EOS
+    transitions) — the first-order LM statistic over the tokens
+    payload. Per batch: adjacent flat-value pairs masked to same-list
+    via list_parent_indices equality, folded to one int64 code
+    (t1·V + t2) and pre-counted with np.unique — so the shuffle carries
+    at most V² partial rows per block (V = 34 bridge vocab), never
+    token rows. One tiny groupby-sum finishes. The oracle rebuilds the
+    token stream in SQL and uses a lead() window."""
+    seq = _seq_ds(sf_dir)
+    V = _schema.BRIDGE_VOCAB_SIZE
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy().astype(np.int64)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        if len(flat) < 2:
+            return pa.table({"code": pa.array([], type=pa.int64()),
+                             "pcnt": pa.array([], type=pa.int64())})
+        m = parent[:-1] == parent[1:]
+        code = (flat[:-1] * V + flat[1:])[m]
+        u, c = np.unique(code, return_counts=True)
+        return pa.table({"code": pa.array(u),
+                         "pcnt": pa.array(c.astype(np.int64))})
+
+    agg = (seq.map_batches(partial, batch_format="pyarrow")
+           .groupby("code").sum("pcnt"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "t1": pc.divide(b["code"], V),
+            "t2": pc.subtract(b["code"],
+                              pc.multiply(pc.divide(b["code"], V), V)),
+            "cnt": pc.cast(b["sum(pcnt)"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+@q("centroids_by_label", """
+WITH ev AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings)
+SELECT label, dim, CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(sum(q) / (count(*) * 1000000.0) * 10000 + 0.5) / 10000
+         AS centroid
+FROM ev GROUP BY label, dim
+""")
+def centroids_by_label(sf_dir: str):
+    """Per-label embedding centroids in LONG form (label, dim, sum_q, n,
+    centroid) — the k-means E-step / class-prototype aggregate. Float
+    sums are made order-independent by quantizing each float32
+    component (promoted to double, identical bits on both sides) to
+    int64 micro-units; the centroid is ONE IEEE division of the two
+    exact integers, floor-rounded. Per batch: reshape the fixed-width
+    list values to (n, 64) and np.add.at into a labels×dims partial —
+    the shuffle carries ≤ labels×dims rows per block, vectors never
+    move."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(emb)
+        if n == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "ps": pa.array([], type=pa.int64()),
+                             "pn": pa.array([], type=pa.int64())})
+        d = int(pc.list_value_length(emb)[0].as_py())
+        v = pc.list_flatten(emb).to_numpy().astype(np.float64).reshape(n, d)
+        q = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        labs = b["label"].to_numpy().astype(np.int64)
+        ul, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(ul), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnts = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(ul))),
+            "ps": pa.array(sums.ravel()),
+            "pn": pa.array(np.repeat(cnts, d))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"]).sum(["ps", "pn"]))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "label": b["label"], "dim": b["dim"],
+            "sum_q": pc.cast(b["sum(ps)"], pa.int64()),
+            "n": pc.cast(b["sum(pn)"], pa.int64()),
+            "centroid": _r4(pc.divide(
+                pc.cast(b["sum(ps)"], pa.float64()),
+                pc.multiply(pc.cast(b["sum(pn)"], pa.float64()), 1000000.0)
+            ).to_numpy())}),
+        batch_format="pyarrow")
+
+
 @q("cohort_retention", """
 WITH fu AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
             FROM events GROUP BY user_id),
@@ -3750,7 +3878,8 @@ _DRIVER_PRIORITY = [
     #    price_zscore_by_flag, price_clip_outliers, pagerank_parts,
     #    triangle_count, and the round-4-tail additions funnel_3step,
     #    wau_sliding, orders_cume_dist, cohort_retention,
-    #    fuzzy_pairs_brand, tokens_explode) defer to round 5:
+    #    fuzzy_pairs_brand, tokens_explode, token_bigrams,
+    #    centroids_by_label) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
