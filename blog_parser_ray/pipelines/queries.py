@@ -3716,6 +3716,76 @@ def token_bigrams(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("bigram_familiarity", f"""
+WITH seqt AS (
+  SELECT source || '/2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || '/' || CAST(doc_id AS VARCHAR) AS sid, text
+  FROM documents),
+words AS (
+  SELECT sid, unnest(string_split(text, ' ')) AS w,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+  FROM seqt),
+vocab(w, tid) AS (VALUES {{vocab}}),
+toks AS (
+  SELECT sid, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS tok FROM seqt
+  UNION ALL
+  SELECT words.sid, words.pos, CAST(vocab.tid AS BIGINT)
+  FROM words JOIN vocab ON words.w = vocab.w
+  UNION ALL
+  SELECT sid,
+         CAST(length(text) - length(replace(text, ' ', '')) + 2 AS BIGINT),
+         CAST(1 AS BIGINT)
+  FROM seqt),
+big AS (
+  SELECT sid, tok AS t1,
+         lead(tok) OVER (PARTITION BY sid ORDER BY pos) AS t2
+  FROM toks),
+counts AS (
+  SELECT t1, t2, CAST(count(*) AS BIGINT) AS cnt
+  FROM big WHERE t2 IS NOT NULL GROUP BY t1, t2)
+SELECT big.sid AS doc_id, CAST(sum(counts.cnt) AS BIGINT) AS score
+FROM big JOIN counts ON big.t1 = counts.t1 AND big.t2 = counts.t2
+GROUP BY big.sid
+""".replace("{vocab}", _VOCAB_VALUES_SQL))
+def bigram_familiarity(sf_dir: str):
+    """Per-sequence transition-familiarity score: for every adjacent
+    token pair, the CORPUS-WIDE count of that bigram, summed over the
+    sequence — an integer-exact rare-transition detector (low score =
+    unusual token stream), the data-quality filter shape that precedes
+    LM-perplexity scoring. Two-phase pattern: phase 1 is the
+    token_bigrams aggregate (V²-bounded), phase 2 broadcasts the dense
+    V×V count matrix (34² int64 ≈ 9 KB, via ray.put once) and re-scans
+    the corpus with a vectorized gather + per-sequence segment sum
+    (np.add.at on parent indices). No shuffle in phase 2; output is one
+    row per sequence."""
+    import ray as _ray
+
+    seq = _seq_ds(sf_dir)
+    V = _schema.BRIDGE_VOCAB_SIZE
+    counts = QUERIES["token_bigrams"](sf_dir)
+    mat = np.zeros(V * V, dtype=np.int64)
+    for bt in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        code = bt["t1"].to_numpy() * V + bt["t2"].to_numpy()
+        mat[code] = bt["cnt"].to_numpy()
+    ref = _ray.put(mat)
+
+    def score(b: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy().astype(np.int64)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        out = np.zeros(b.num_rows, dtype=np.int64)
+        if len(flat) >= 2:
+            adj = parent[:-1] == parent[1:]
+            code = (flat[:-1] * V + flat[1:])[adj]
+            np.add.at(out, parent[:-1][adj], m[code])
+        return pa.table({"doc_id": b["doc_id"], "score": pa.array(out)})
+
+    return seq.map_batches(score, batch_format="pyarrow")
+
+
 @q("centroids_by_label", """
 WITH ev AS (
   SELECT label,
