@@ -905,6 +905,170 @@ def _collect_pairs_sorted(ds: rd.Dataset, empty: pa.Table) -> pa.Table:
                                          ("b", "ascending")])
 
 
+def _jaccard_exact_count_fn(tau_e4: int, id_type: pa.DataType):
+    """Vectorized EXACT-integer Jaccard verify: same lexsort-adjacent
+    intersection kernel as ``_jaccard_verify_fn``, but the threshold is
+    the pure integer inequality ``10000·|∩| ≥ tau_e4·|∪|`` and the output
+    carries (inter, uni) as int64 — no float ever enters, so the result
+    is hash-exact against a SQL oracle with the same inequality."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"a": pa.array([], id_type),
+                             "b": pa.array([], id_type),
+                             "inter": pa.array([], pa.int64()),
+                             "uni": pa.array([], pa.int64())})
+        la, va = _list_segments(batch["sh_a"])
+        lb, vb = _list_segments(batch["sh_b"])
+        pidx = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la),
+                               np.repeat(np.arange(n, dtype=np.int64), lb)])
+        vals = np.concatenate([va, vb])
+        order = np.lexsort((vals, pidx))
+        sp, sv = pidx[order], vals[order]
+        dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+        inter = np.bincount(sp[1:][dup], minlength=n)
+        uni = la + lb - inter
+        keepm = 10000 * inter >= tau_e4 * uni
+        keep = pa.array(keepm)
+        return pa.table({
+            "a": batch["a"].filter(keep), "b": batch["b"].filter(keep),
+            "inter": pa.array(inter[keepm].astype(np.int64)),
+            "uni": pa.array(uni[keepm].astype(np.int64))})
+
+    return fn
+
+
+def jaccard_join_exact(ds: rd.Dataset, *, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       tau_e4: int = 6000, n_parts: int = 64,
+                       hot_bucket_warn: int = 65536) -> rd.Dataset:
+    """EXACT-COMPLETE word-k-shingle Jaccard similarity self-join: every
+    pair with ``10000·|∩| ≥ tau_e4·|∪|`` (τ = tau_e4/10⁴), no LSH false
+    negatives — the AllPairs/PPJoin prefix-filtering algorithm as Dataset
+    stages.
+
+    Completeness (the prefix lemma this relies on): order all shingles by
+    global (document-frequency, hash) ascending — rarest first. For a set
+    s keep the PREFIX of its first ``ℓ(s) = |s| − ⌈τ·|s|⌉ + 1`` shingles.
+    If J(a,b) ≥ τ then |∩| ≥ τ·|∪| ≥ τ·|a| so |∩| ≥ ⌈τ·|a|⌉; were the
+    rarest common shingle c outside prefix(a), the whole intersection
+    would sit in a's last ⌈τ·|a|⌉ − 1 positions — too small. Hence c ∈
+    prefix(a) and symmetrically c ∈ prefix(b): every qualifying pair
+    collides in the bucket of c. No cap is applied to buckets (a cap
+    would break exactness); buckets above ``hot_bucket_warn`` log a
+    warning — hot shingles are by construction the RAREST ones in each
+    set, so pathological buckets indicate a near-duplicate cluster that
+    exact dedup should take first.
+
+    Stages (all cluster-side; driver sees nothing): shingle sets
+    (vectorized, reused by verify) → explode to (shingle, id, |s|) rows →
+    DF groupby → DF attach join (equi_join plan selection) → per-doc
+    prefix selection (hash-partitioned sort-segment rank filter) → bucket
+    pair expansion + global pair dedup → exact-integer verify via the
+    shared payload machinery (``_verify_with_payload``)."""
+    import logging
+
+    import pandas as pd
+
+    from .window import _with_pid
+
+    sub = ds.map_batches(lambda b, ic=id_col, tc=text_col: b.select([ic, tc]),
+                         batch_format="pyarrow")
+    sets = sub.map_batches(
+        _shingle_set_fn(lambda b: text_shingle_hashes(b[text_col], k),
+                        id_col),
+        batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        sh = b["sh"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        lens, vals = _list_segments(sh)
+        parent = pc.list_parent_indices(sh)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"sh": pa.array(vals.astype(np.int64)),
+                         id_col: pc.take(ids, parent),
+                         "m": pa.array(np.repeat(lens, lens))})
+
+    rows = sets.map_batches(explode, batch_format="pyarrow")
+    df = (rows.groupby("sh").count()
+          .map_batches(lambda b: pa.table({"sh2": b["sh"],
+                                           "df": b["count()"]}),
+                       batch_format="pyarrow"))
+    from .join import equi_join
+    rows_df = equi_join(rows, df, left_on="sh", right_on="sh2")
+
+    def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["sh", id_col, "m"]
+        if len(g) == 0:
+            return g[cols]
+        g = g.sort_values([id_col, "df", "sh"], kind="mergesort")
+        doc = g[id_col].to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = doc[1:] != doc[:-1]
+        idx = np.arange(len(g), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        rank = idx - start
+        m = g["m"].to_numpy().astype(np.int64)
+        need = -(-(tau_e4 * m) // 10000)          # ceil(τ·m), pure ints
+        ell = m - need + 1
+        return g.loc[rank < ell, cols]
+
+    pref = (_with_pid(rows_df, id_col, n_parts)
+            .groupby("_pid")
+            .map_groups(arrow_out(prefix_part), batch_format="pandas"))
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            d = g[id_col]
+            return pd.DataFrame({"a": d, "b": d})
+        g = g.sort_values(["sh", id_col], kind="mergesort")
+        kk = g["sh"].to_numpy()
+        d = g[id_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        sizes = np.diff(np.r_[starts, len(kk)])
+        a_out, b_out = [], []
+        for s in np.flatnonzero(sizes > 1):
+            mm = int(sizes[s])
+            if mm > hot_bucket_warn:
+                logging.getLogger(__name__).warning(
+                    "jaccard_join_exact hot prefix bucket: %d ids "
+                    "(%d pairs) — consider exact dedup first", mm,
+                    mm * (mm - 1) // 2)
+            ids = d[starts[s]:starts[s] + mm]
+            ai, bj = np.triu_indices(mm, k=1)
+            a_out.append(ids[ai])
+            b_out.append(ids[bj])
+        if not a_out:
+            return pd.DataFrame({"a": np.array([], dtype=d.dtype),
+                                 "b": np.array([], dtype=d.dtype)})
+        return pd.DataFrame({"a": np.concatenate(a_out),
+                             "b": np.concatenate(b_out)})
+
+    def bucket_pid(b: pa.Table) -> pa.Table:
+        h = b["sh"].to_numpy().view(np.uint64)
+        return b.append_column(
+            "_bpid", pa.array((stable_hash_ints(h) % np.uint64(n_parts))
+                              .astype(np.int64)))
+
+    raw = (pref.map_batches(bucket_pid, batch_format="pyarrow")
+           .groupby("_bpid")
+           .map_groups(arrow_out(pair_part), batch_format="pandas"))
+    pairs = _dedup_pairs_ds(raw, n_parts, cols=["a", "b"]).materialize()
+
+    id_type = _id_type_of(ds, id_col)
+    return _verify_with_payload(
+        sub, pairs,
+        _shingle_set_fn(lambda b: text_shingle_hashes(b[text_col], k),
+                        id_col),
+        id_col=id_col, payload_cols=[id_col, text_col], val_col="sh",
+        verify_fn=_jaccard_exact_count_fn(tau_e4, id_type))
+
+
 def minhash_candidates(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                        k: int = 3, text_col: str = "text") -> rd.Dataset:
     """LSH bucket groupby → Dataset of unique candidate pairs (a < b)."""

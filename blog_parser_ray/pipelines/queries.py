@@ -3850,6 +3850,42 @@ def centroids_by_label(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("jaccard_pairs_exact", """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+sh AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+shd AS (SELECT DISTINCT doc_id, g FROM sh),
+sz AS (SELECT doc_id, count(*) AS m FROM shd GROUP BY doc_id),
+ins AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        FROM shd x JOIN shd y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+SELECT a, b, CAST(i AS BIGINT) AS inter,
+       CAST(sa.m + sb.m - i AS BIGINT) AS uni
+FROM ins JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE 10000 * i >= 6000 * (sa.m + sb.m - i)
+""")
+def jaccard_pairs_exact(sf_dir: str):
+    """EXACT-COMPLETE similarity self-join at Jaccard ≥ 0.6 over word
+    3-shingle sets — the AllPairs/PPJoin prefix-filtering algorithm
+    (functions/dedup.py jaccard_join_exact): unlike the MinHash/SimHash
+    paths, NO false negatives (the prefix lemma is proved in the
+    docstring), and the (inter, uni) output is pure-integer so the SQL
+    all-pairs oracle matches hash-exact. Shuffles: thin (shingle, id,
+    size) rows + DF attach + prefix buckets + pair dedup — never
+    payloads, never all-pairs."""
+    from ..functions.dedup import jaccard_join_exact
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = jaccard_join_exact(docs, id_col="doc_id", text_col="text",
+                             k=3, tau_e4=6000)
+    return out.map_batches(
+        lambda b: b.select(["a", "b", "inter", "uni"]),
+        batch_format="pyarrow")
+
+
 @q("cohort_retention", """
 WITH fu AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
             FROM events GROUP BY user_id),
@@ -3949,7 +3985,8 @@ _DRIVER_PRIORITY = [
     #    triangle_count, and the round-4-tail additions funnel_3step,
     #    wau_sliding, orders_cume_dist, cohort_retention,
     #    fuzzy_pairs_brand, tokens_explode, token_bigrams,
-    #    centroids_by_label) defer to round 5:
+    #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact)
+    #    defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
