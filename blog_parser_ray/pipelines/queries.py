@@ -3886,6 +3886,66 @@ def jaccard_pairs_exact(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("merge_upsert", """
+SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+WHERE o_orderkey % 17 <> 0 AND o_orderkey % 10 <> 0
+UNION ALL
+SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+       'U' AS o_orderstatus
+FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 0
+UNION ALL
+SELECT -o_orderkey AS o_orderkey, o_totalprice, 'N' AS o_orderstatus
+FROM orders WHERE o_orderkey % 23 = 0
+""")
+def merge_upsert(sf_dir: str):
+    """CDC MERGE (the lakehouse upsert/delete primitive): apply a change
+    set — deletes (key % 17 = 0), updates (key % 10 = 0: price + 1000,
+    status 'U'; delete wins on overlap, standard WHEN MATCHED
+    precedence), inserts (new negative keys from key % 23 = 0) — to the
+    orders base. The delta is synthesized DETERMINISTICALLY from the
+    base itself so both sides agree without external data; the oracle
+    states only the merge SEMANTICS (filter shortcut) while the engine
+    runs the real distributed plan: changed-key anti-filter over the
+    base (plan-selected broadcast / bucketed anti-join —
+    functions/dedup.py _anti_filter_keys, driver memory independent of
+    delta size) + a schema-aligned 3-way union. At 100 TB the delta
+    streams exactly like the base; nothing is driver-side."""
+    from ..functions.dedup import _anti_filter_keys
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    base = _read(sf_dir, "orders", cols)
+
+    def changed_keys(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy()
+        m = (k % 10 == 0) | (k % 17 == 0)
+        return pa.table({"_drop": pa.array(k[m])})
+
+    def upserts(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy()
+        t = b.filter(pa.array((k % 10 == 0) & (k % 17 != 0)))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_totalprice": pc.add(t["o_totalprice"], 1000.0),
+            "o_orderstatus": pa.array(["U"] * t.num_rows,
+                                      type=pa.string())})
+
+    def inserts(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy()
+        t = b.filter(pa.array(k % 23 == 0))
+        return pa.table({
+            "o_orderkey": pc.negate(t["o_orderkey"]),
+            "o_totalprice": t["o_totalprice"],
+            "o_orderstatus": pa.array(["N"] * t.num_rows,
+                                      type=pa.string())})
+
+    survivors = _anti_filter_keys(
+        base, base.map_batches(changed_keys, batch_format="pyarrow"),
+        "o_orderkey")
+    return (survivors
+            .union(base.map_batches(upserts, batch_format="pyarrow"))
+            .union(base.map_batches(inserts, batch_format="pyarrow")))
+
+
 @q("cohort_retention", """
 WITH fu AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
             FROM events GROUP BY user_id),
@@ -3985,8 +4045,8 @@ _DRIVER_PRIORITY = [
     #    triangle_count, and the round-4-tail additions funnel_3step,
     #    wau_sliding, orders_cume_dist, cohort_retention,
     #    fuzzy_pairs_brand, tokens_explode, token_bigrams,
-    #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact)
-    #    defer to round 5:
+    #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact,
+    #    merge_upsert) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at

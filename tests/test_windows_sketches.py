@@ -594,3 +594,31 @@ def test_pagerank_int_matches_numpy_replay():
                      dtype=object)
     for v in nodes:
         assert int(out[v]) == int(r[idx[v]]), v
+
+
+def test_extended_session_ops_partition_invariant():
+    """Round-4 extended-session operators must produce identical results
+    across block layouts (same sweep as test_round4_ops_partition_invariant)."""
+    from blog_parser_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    names = ["fuzzy_pairs_brand", "funnel_3step", "wau_sliding",
+             "orders_cume_dist", "cohort_retention", "tokens_explode",
+             "token_bigrams", "centroids_by_label", "bigram_familiarity",
+             "jaccard_pairs_exact", "merge_upsert"]
+
+    def norm(obj):
+        df = obj.to_pandas() if not isinstance(obj, pd.DataFrame) else obj
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    import blog_parser_ray.pipelines.queries as qmod
+    orig_read = qmod._read
+    for name in names:
+        a = norm(QUERIES[name](sf))
+        try:
+            qmod._read = lambda s, t, c=None: orig_read(s, t, c).repartition(7)
+            b = norm(QUERIES[name](sf))
+        finally:
+            qmod._read = orig_read
+        pd.testing.assert_frame_equal(a, b, check_dtype=False), name
