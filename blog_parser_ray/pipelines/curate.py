@@ -45,6 +45,7 @@ def quality_keep_batch(batch: pa.Table, *, min_quality: float) -> pa.Table:
 def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
                   min_quality: float = 0.35,
                   near_dup_threshold: float = 0.5,
+                  near_dup_method: str = "minhash",
                   mixture: dict[str, float] | None = None,
                   max_len: int = 512,
                   with_funnel: bool = True):
@@ -107,7 +108,20 @@ def curate_corpus(ds: rd.Dataset, *, lang: str | None = "en",
     # below its pairs_driver_limit, distributed components beyond) without
     # ever gathering pair payloads to the driver here
     t0 = time.monotonic()
-    pairs_ds = minhash_dedup_pairs_ds(ds, threshold=near_dup_threshold)
+    if near_dup_method == "exact":
+        # exact-complete AllPairs prefix-filtering path (no LSH false
+        # negatives) — the guarantee costs a DF pass + prefix shuffle;
+        # minhash stays the default for recall-tolerant curation
+        from ..functions.dedup import jaccard_join_exact
+
+        pairs_ds = jaccard_join_exact(
+            ds, id_col="doc_id", text_col="text",
+            tau_e4=int(round(near_dup_threshold * 10000))).map_batches(
+            lambda b: b.select(["a", "b"]), batch_format="pyarrow")
+    elif near_dup_method == "minhash":
+        pairs_ds = minhash_dedup_pairs_ds(ds, threshold=near_dup_threshold)
+    else:
+        raise ValueError(f"unknown near_dup_method: {near_dup_method!r}")
     if with_funnel:
         # pairs generation is eager (LSH bucket counts drive plan selection)
         # and would otherwise be invisible in the per-stage attribution

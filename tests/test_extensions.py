@@ -778,3 +778,37 @@ def test_synth_documents_table_determinism_and_planted_dups():
     from blog_parser_ray import schema as S
     words = set(texts[0].split())
     assert words <= set(S.VOCAB_WORDS)
+
+
+def test_llm_curate_exact_near_dup_method():
+    """curate_corpus(near_dup_method='exact') routes the near-dup stage
+    through the AllPairs exact Jaccard join: the planted near-dup must be
+    removed (no LSH luck involved — completeness is guaranteed), and an
+    unknown method must raise."""
+    import pytest as _pytest
+
+    from blog_parser_ray import schema as S
+    from blog_parser_ray.pipelines.curate import curate_corpus
+
+    words = list(S.VOCAB_WORDS)[2:40]
+    rng = np.random.default_rng(12)
+    texts, ids, srcs = [], [], []
+    for i in range(30):
+        perm = [words[j] for j in rng.permutation(len(words))[:20]]
+        texts.append(" ".join(perm))
+        ids.append(i)
+        srcs.append(f"src{i % 3}")
+    near = texts[1].split(); near[3] = words[0]
+    texts.append(" ".join(near)); ids.append(101); srcs.append("src1")
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "source": pa.array(srcs),
+                  "text": pa.array(texts)})
+    packed, funnel = curate_corpus(rd.from_arrow(t), lang=None,
+                                   min_quality=0.0, near_dup_threshold=0.5,
+                                   near_dup_method="exact")
+    f = {stage: n for stage, n, _sec in funnel}
+    assert f["near_dedup"] == f["exact_dedup"] - 1      # planted near dup
+    assert f["near_dup_pairs"] >= 1
+    with _pytest.raises(ValueError, match="near_dup_method"):
+        curate_corpus(rd.from_arrow(t), lang=None, min_quality=0.0,
+                      near_dup_method="nope")
