@@ -1637,6 +1637,24 @@ def llm_curate(sf_dir: str):
     })
 
 
+@q("llm_curate_exact")  # rows-only: composite (exact-complete near-dup path)
+def llm_curate_exact(sf_dir: str):
+    """The curation chain with ``near_dup_method='exact'`` — the
+    near-dup stage runs the AllPairs prefix-filtering Jaccard join
+    (jaccard_join_exact) instead of MinHash LSH, so the funnel is FULLY
+    deterministic (no probabilistic recall anywhere). Same funnel-shape
+    output as llm_curate."""
+    from .curate import curate_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    _, funnel = curate_corpus(ds, mixture={"src1": 0.5},
+                              near_dup_method="exact")
+    return pa.table({
+        "stage": pa.array([s for s, _, _ in funnel], type=pa.string()),
+        "rows": pa.array([n for _, n, _ in funnel], type=pa.int64()),
+    })
+
+
 @q("big_spenders", f"""
 SELECT o_custkey,
        CAST(sum({_CENTS_SQL.format(x='o_totalprice')}) AS BIGINT)
@@ -3808,7 +3826,10 @@ def centroids_by_label(sf_dir: str):
     exact integers, floor-rounded. Per batch: reshape the fixed-width
     list values to (n, 64) and np.add.at into a labels×dims partial —
     the shuffle carries ≤ labels×dims rows per block, vectors never
-    move."""
+    move. int64 headroom: |q| ≤ ~5·10⁶ for unit-scale components, so a
+    single label overflows only past ~10¹² member rows — switch the
+    partial to hi/lo split sums (the grouped_corr kernel) beyond
+    that."""
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -4046,7 +4067,7 @@ _DRIVER_PRIORITY = [
     #    wau_sliding, orders_cume_dist, cohort_retention,
     #    fuzzy_pairs_brand, tokens_explode, token_bigrams,
     #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact,
-    #    merge_upsert) defer to round 5:
+    #    merge_upsert, llm_curate_exact) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
