@@ -963,22 +963,31 @@ def jaccard_join_exact(ds: rd.Dataset, *, id_col: str = "doc_id",
 
     Stages (all cluster-side; driver sees nothing): shingle sets
     (vectorized, reused by verify) → explode to (shingle, id, |s|) rows →
-    DF groupby → DF attach join (equi_join plan selection) → per-doc
-    prefix selection (hash-partitioned sort-segment rank filter) → bucket
-    pair expansion + global pair dedup → exact-integer verify via the
-    shared payload machinery (``_verify_with_payload``)."""
+    DF groupby → prefix selection, plan-selected by measured distinct-
+    shingle count: BROADCAST (distinct shingles ≤ ``df_broadcast_limit``)
+    ships the sorted (shingle, df) arrays once via ray.put and computes
+    each set's prefix per batch with a searchsorted lookup + one lexsort
+    — NO join and NO prefix shuffle; the PARTITIONED path attaches DF via
+    equi_join and rank-filters in a hash-partitioned sort-segment pass.
+    Then bucket pair expansion + global pair dedup → exact-integer verify
+    via the shared payload machinery (``_verify_with_payload``)."""
     import logging
 
     import pandas as pd
 
     from .window import _with_pid
 
+    df_broadcast_limit = 2_000_000
+
     sub = ds.map_batches(lambda b, ic=id_col, tc=text_col: b.select([ic, tc]),
                          batch_format="pyarrow")
+    # materialized once: the compact set lists feed the DF pass AND the
+    # prefix pass (broadcast plan) / explode (partitioned plan) — without
+    # this the whole shingle computation re-executes per consumer
     sets = sub.map_batches(
         _shingle_set_fn(lambda b: text_shingle_hashes(b[text_col], k),
                         id_col),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     def explode(b: pa.Table) -> pa.Table:
         sh = b["sh"]
@@ -994,33 +1003,78 @@ def jaccard_join_exact(ds: rd.Dataset, *, id_col: str = "doc_id",
                          "m": pa.array(np.repeat(lens, lens))})
 
     rows = sets.map_batches(explode, batch_format="pyarrow")
-    df = (rows.groupby("sh").count()
-          .map_batches(lambda b: pa.table({"sh2": b["sh"],
-                                           "df": b["count()"]}),
-                       batch_format="pyarrow"))
-    from .join import equi_join
-    rows_df = equi_join(rows, df, left_on="sh", right_on="sh2")
+    df_ds = rows.groupby("sh").count().materialize()
 
-    def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
-        cols = ["sh", id_col, "m"]
-        if len(g) == 0:
-            return g[cols]
-        g = g.sort_values([id_col, "df", "sh"], kind="mergesort")
-        doc = g[id_col].to_numpy()
-        first = np.empty(len(g), dtype=bool)
-        first[0] = True
-        first[1:] = doc[1:] != doc[:-1]
-        idx = np.arange(len(g), dtype=np.int64)
-        start = np.maximum.accumulate(np.where(first, idx, 0))
-        rank = idx - start
-        m = g["m"].to_numpy().astype(np.int64)
-        need = -(-(tau_e4 * m) // 10000)          # ceil(τ·m), pure ints
-        ell = m - need + 1
-        return g.loc[rank < ell, cols]
+    if df_ds.count() <= df_broadcast_limit:
+        from .util import collect_table
 
-    pref = (_with_pid(rows_df, id_col, n_parts)
-            .groupby("_pid")
-            .map_groups(arrow_out(prefix_part), batch_format="pandas"))
+        dft = collect_table(df_ds).combine_chunks()
+        sh_sorted = dft["sh"].to_numpy()
+        order0 = np.argsort(sh_sorted, kind="mergesort")
+        df_ref = ray.put((sh_sorted[order0],
+                          dft["count()"].to_numpy()[order0]))
+
+        def prefix_batch(b: pa.Table) -> pa.Table:
+            sh_keys, df_vals = ray.get(df_ref)
+            sh = b["sh"]
+            if isinstance(sh, pa.ChunkedArray):
+                sh = sh.combine_chunks()
+            lens, vals = _list_segments(sh)
+            ids = b[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            if len(vals) == 0:
+                return pa.table({"sh": pa.array([], type=pa.int64()),
+                                 id_col: ids.slice(0, 0),
+                                 "m": pa.array([], type=pa.int64())})
+            dfs = df_vals[np.searchsorted(sh_keys, vals)]
+            n = len(lens)
+            row = np.repeat(np.arange(n, dtype=np.int64), lens)
+            order = np.lexsort((vals, dfs, row))
+            idx = np.arange(len(row), dtype=np.int64)
+            first = np.empty(len(row), dtype=bool)
+            if len(row):
+                first[0] = True
+                first[1:] = row[1:] != row[:-1]
+            start = np.maximum.accumulate(np.where(first, idx, 0))
+            rank = idx - start
+            m = lens[row[order]]
+            need = -(-(tau_e4 * m) // 10000)      # ceil(τ·m), pure ints
+            keep = rank < (m - need + 1)
+            return pa.table({
+                "sh": pa.array(vals[order][keep].astype(np.int64)),
+                id_col: pc.take(ids, pa.array(row[order][keep])),
+                "m": pa.array(m[keep])})
+
+        pref = sets.map_batches(prefix_batch, batch_format="pyarrow")
+    else:
+        df = df_ds.map_batches(
+            lambda b: pa.table({"sh2": b["sh"], "df": b["count()"]}),
+            batch_format="pyarrow")
+        from .join import equi_join
+        rows_df = equi_join(rows, df, left_on="sh", right_on="sh2",
+                            broadcast_limit=0)
+
+        def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
+            cols = ["sh", id_col, "m"]
+            if len(g) == 0:
+                return g[cols]
+            g = g.sort_values([id_col, "df", "sh"], kind="mergesort")
+            doc = g[id_col].to_numpy()
+            first = np.empty(len(g), dtype=bool)
+            first[0] = True
+            first[1:] = doc[1:] != doc[:-1]
+            idx = np.arange(len(g), dtype=np.int64)
+            start = np.maximum.accumulate(np.where(first, idx, 0))
+            rank = idx - start
+            m = g["m"].to_numpy().astype(np.int64)
+            need = -(-(tau_e4 * m) // 10000)      # ceil(τ·m), pure ints
+            ell = m - need + 1
+            return g.loc[rank < ell, cols]
+
+        pref = (_with_pid(rows_df, id_col, n_parts)
+                .groupby("_pid")
+                .map_groups(arrow_out(prefix_part), batch_format="pandas"))
 
     def pair_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
