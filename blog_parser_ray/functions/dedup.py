@@ -942,7 +942,8 @@ def _jaccard_exact_count_fn(tau_e4: int, id_type: pa.DataType):
 def jaccard_join_exact(ds: rd.Dataset, *, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        tau_e4: int = 6000, n_parts: int = 64,
-                       hot_bucket_warn: int = 65536) -> rd.Dataset:
+                       hot_bucket_warn: int = 65536,
+                       df_broadcast_limit: int = 2_000_000) -> rd.Dataset:
     """EXACT-COMPLETE word-k-shingle Jaccard similarity self-join: every
     pair with ``10000·|∩| ≥ tau_e4·|∪|`` (τ = tau_e4/10⁴), no LSH false
     negatives — the AllPairs/PPJoin prefix-filtering algorithm as Dataset
@@ -976,8 +977,6 @@ def jaccard_join_exact(ds: rd.Dataset, *, id_col: str = "doc_id",
     import pandas as pd
 
     from .window import _with_pid
-
-    df_broadcast_limit = 2_000_000
 
     sub = ds.map_batches(lambda b, ic=id_col, tc=text_col: b.select([ic, tc]),
                          batch_format="pyarrow")

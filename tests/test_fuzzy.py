@@ -104,3 +104,21 @@ def test_fuzzy_self_join_matches_bruteforce():
     exp.sort()
     assert len(got) == len(exp)
     assert list(map(tuple, got.to_numpy())) == exp
+
+
+def test_jaccard_exact_partitioned_plan_matches_broadcast_plan():
+    """jaccard_join_exact's partitioned DF path (df_broadcast_limit=0,
+    the 100 TB plan) must equal the default broadcast-DF path."""
+    from blog_parser_ray.functions.dedup import jaccard_join_exact
+    from blog_parser_ray.sources.readers import read_parquet_clean
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_parquet_clean(f"{sf}/documents.parquet",
+                              columns=["doc_id", "text"])
+    cols = ["a", "b", "inter", "uni"]
+    bcast = (jaccard_join_exact(docs, tau_e4=6000).to_pandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+    parted = (jaccard_join_exact(docs, tau_e4=6000, df_broadcast_limit=0)
+              .to_pandas()[cols].sort_values(cols).reset_index(drop=True))
+    assert len(bcast) == len(parted) > 0
+    assert bcast.equals(parted)
