@@ -3967,6 +3967,54 @@ def merge_upsert(sf_dir: str):
             .union(base.map_batches(inserts, batch_format="pyarrow")))
 
 
+@q("kmeans_clusters", """
+WITH ev AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, dim, q AS qc FROM ev WHERE vec_id < 10),
+d1 AS (SELECT ev.vec_id, c0.cid,
+              CAST(sum((ev.q - c0.qc) * (ev.q - c0.qc)) AS BIGINT) AS dist
+       FROM ev JOIN c0 USING (dim) GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cid FROM
+        (SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn
+         FROM d1) WHERE rn = 1),
+cs AS (SELECT a1.cid, ev.dim, CAST(sum(ev.q) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n
+       FROM ev JOIN a1 USING (vec_id) GROUP BY 1, 2),
+c1 AS (SELECT c0.cid, c0.dim,
+              COALESCE(CAST((cs.s - (((cs.s % cs.n) + cs.n) % cs.n))
+                            / cs.n AS BIGINT), c0.qc) AS qc
+       FROM c0 LEFT JOIN cs ON cs.cid = c0.cid AND cs.dim = c0.dim),
+d2 AS (SELECT ev.vec_id, c1.cid,
+              CAST(sum((ev.q - c1.qc) * (ev.q - c1.qc)) AS BIGINT) AS dist
+       FROM ev JOIN c1 USING (dim) GROUP BY 1, 2)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist FROM
+ (SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d2) WHERE rn = 1
+""")
+def kmeans_clusters(sf_dir: str):
+    """Exact integer k-means (k=10, 2 assignment rounds, seed centroids
+    = vectors with vec_id < 10): iterative distributed ML with a
+    BIT-EXACT unrolled-SQL oracle — after one float32→int64 micro-unit
+    quantization every distance, argmin (ties → smallest cluster id) and
+    floor-divided centroid update is pure integer arithmetic, so block
+    layout and summation order can never flip an assignment
+    (functions/cluster.py kmeans_exact; the PageRank integer-fixed-point
+    trick applied to clustering). Per update round: one corpus pass, ≤
+    k·dims partial rows per block, 5 KB centroid broadcast."""
+    from ..functions.cluster import kmeans_exact
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_exact(ds, id_col="vec_id", vec_col="embedding",
+                        k=10, iters=2)
+
+
 @q("cohort_retention", """
 WITH fu AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
             FROM events GROUP BY user_id),
@@ -4067,7 +4115,7 @@ _DRIVER_PRIORITY = [
     #    wau_sliding, orders_cume_dist, cohort_retention,
     #    fuzzy_pairs_brand, tokens_explode, token_bigrams,
     #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact,
-    #    merge_upsert, llm_curate_exact) defer to round 5:
+    #    merge_upsert, llm_curate_exact, kmeans_clusters) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
