@@ -3967,6 +3967,62 @@ def merge_upsert(sf_dir: str):
             .union(base.map_batches(inserts, batch_format="pyarrow")))
 
 
+@q("inverted_index", """
+WITH seqt AS (
+  SELECT source || '/2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || '/' || CAST(doc_id AS VARCHAR) AS sid, text
+  FROM documents),
+words AS (
+  SELECT sid, unnest(string_split(text, ' ')) AS w,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+  FROM seqt)
+SELECT w AS term, sid AS doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM words GROUP BY 1, 2
+""")
+def inverted_index(sf_dir: str):
+    """Inverted-index postings over the token stream — the operator at
+    the heart of the reference's document-indexer role, re-expressed on
+    the tokens payload: one row per (term, sequence) with occurrence
+    count and first position. Because each sequence's tokens are fully
+    contained in the batch that produced them (the explode invariant),
+    the per-(term, doc) aggregate is COMPLETE batch-locally — zero
+    shuffle: token ids → vocab strings via one broadcast take, grouped
+    with np.unique on a fused (doc, term) code (first-occurrence index =
+    first position since positions ascend in stream order)."""
+    seq = _seq_ds(sf_dir)
+    vocab_arr = pa.array(list(_schema.VOCAB_WORDS), type=pa.string())
+    nv = len(_schema.VOCAB_WORDS)
+
+    def build(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy().astype(np.int64)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        pos = (np.arange(int(lens.sum()), dtype=np.int64)
+               - np.repeat(starts, lens))
+        m = flat >= _schema.N_SPECIALS
+        term_idx = flat[m] - _schema.N_SPECIALS
+        doc_idx = parent[m]
+        pos = pos[m]
+        code = doc_idx * nv + term_idx
+        uniq, first, cnt = np.unique(code, return_index=True,
+                                     return_counts=True)
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            "term": pc.take(vocab_arr, pa.array(uniq % nv)),
+            "doc_id": pc.take(ids, pa.array(uniq // nv)),
+            "n_occ": pa.array(cnt.astype(np.int64)),
+            "first_pos": pa.array(pos[first])})
+
+    return seq.map_batches(build, batch_format="pyarrow")
+
+
 @q("kmeans_clusters", """
 WITH ev AS (
   SELECT vec_id,
@@ -4115,7 +4171,8 @@ _DRIVER_PRIORITY = [
     #    wau_sliding, orders_cume_dist, cohort_retention,
     #    fuzzy_pairs_brand, tokens_explode, token_bigrams,
     #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact,
-    #    merge_upsert, llm_curate_exact, kmeans_clusters) defer to round 5:
+    #    merge_upsert, llm_curate_exact, kmeans_clusters,
+    #    inverted_index) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at

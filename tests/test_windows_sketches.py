@@ -605,7 +605,8 @@ def test_extended_session_ops_partition_invariant():
     names = ["fuzzy_pairs_brand", "funnel_3step", "wau_sliding",
              "orders_cume_dist", "cohort_retention", "tokens_explode",
              "token_bigrams", "centroids_by_label", "bigram_familiarity",
-             "jaccard_pairs_exact", "merge_upsert", "kmeans_clusters"]
+             "jaccard_pairs_exact", "merge_upsert", "kmeans_clusters",
+             "inverted_index"]
 
     def norm(obj):
         df = obj.to_pandas() if not isinstance(obj, pd.DataFrame) else obj
