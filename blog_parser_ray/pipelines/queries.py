@@ -4023,6 +4023,55 @@ def inverted_index(sf_dir: str):
     return seq.map_batches(build, batch_format="pyarrow")
 
 
+@q("profile_orders", """
+SELECT 'o_custkey' AS col,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+       CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+""")
+def profile_orders(sf_dir: str):
+    """Column-profiling report (the data-discovery complement to the
+    `validate` expectation checks): per column, null count and exact
+    distinct count. Null counts are per-block partials through one tiny
+    Sum; each distinct count is one thin shuffle of the column's
+    distinct values (null keys excluded, SQL COUNT(DISTINCT)
+    semantics). The input is materialized once (column-pruned) and
+    shared by all per-column passes; the driver sees only the
+    4-row report."""
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    ds = _read(sf_dir, "orders", cols).materialize()
+
+    def null_partial(b: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array([b[c].null_count], type=pa.int64())
+                         for c in cols})
+
+    nulls = (ds.map_batches(null_partial, batch_format="pyarrow")
+             .sum(cols))
+    out_rows = []
+    for c in cols:
+        nd = (ds.map_batches(
+            lambda b, cc=c: b.filter(pc.is_valid(
+                b[cc].combine_chunks()
+                if isinstance(b[cc], pa.ChunkedArray) else b[cc]))
+            .select([cc]), batch_format="pyarrow")
+            .groupby(c).count().count())
+        out_rows.append((c, int(nulls[f"sum({c})"]), int(nd)))
+    return pa.table({
+        "col": pa.array([r[0] for r in out_rows], type=pa.string()),
+        "n_null": pa.array([r[1] for r in out_rows], type=pa.int64()),
+        "n_distinct": pa.array([r[2] for r in out_rows],
+                               type=pa.int64())})
+
+
 @q("kmeans_clusters", """
 WITH ev AS (
   SELECT vec_id,
@@ -4172,7 +4221,7 @@ _DRIVER_PRIORITY = [
     #    fuzzy_pairs_brand, tokens_explode, token_bigrams,
     #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact,
     #    merge_upsert, llm_curate_exact, kmeans_clusters,
-    #    inverted_index) defer to round 5:
+    #    inverted_index, profile_orders) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
