@@ -85,8 +85,13 @@ def asof_join_broadcast(left: rd.Dataset, right: pa.Table, *,
 
 def asof_join_keyed(left: rd.Dataset, right: rd.Dataset, *, key: str,
                     left_ts: str, right_ts: str,
+                    direction: str = "backward", strict: bool = False,
                     n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
     """Keyed as-of via hash-bucketed co-grouping, ARROW side-tagged union
+    (``direction="backward"`` matches the latest right row at-or-before
+    each left ts — SQL ASOF ``l.ts >= r.ts``; ``"forward"`` the earliest
+    at-or-after — ``l.ts <= r.ts``; ``strict=True`` excludes equal
+    timestamps, SQL ``>`` / ``<``)
     (r3 verdict #3): both sides are padded to ONE explicit Arrow schema
     with typed null columns — no pandas conversion before the shuffle, so
     none of the dtype-promotion drift the former pandas pad/union needed
@@ -167,7 +172,9 @@ def asof_join_keyed(left: rd.Dataset, right: rd.Dataset, *, key: str,
             merged = lg.copy()
         else:
             merged = pd.merge_asof(lg, rg, left_on=left_ts,
-                                   right_on=right_ts, by=key)
+                                   right_on=right_ts, by=key,
+                                   direction=direction,
+                                   allow_exact_matches=not strict)
         for c in r_only:            # all-empty-right partitions
             if c not in merged.columns:
                 merged[c] = _null_fill(out_schema.field(c).type)

@@ -4023,6 +4023,59 @@ def inverted_index(sf_dir: str):
     return seq.map_batches(build, batch_format="pyarrow")
 
 
+@q("order_next_order", """
+WITH l AS (SELECT o_orderkey, o_custkey,
+                  CAST(o_orderdate AS TIMESTAMP) AS lts FROM orders),
+ded AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+               max(o_orderkey) AS nk
+        FROM orders GROUP BY 1, 2)
+SELECT l.o_orderkey, CAST(ded.nk AS BIGINT) AS next_orderkey
+FROM l ASOF JOIN ded
+  ON l.o_custkey = ded.o_custkey AND l.lts < ded.ots
+""")
+def order_next_order(sf_dir: str):
+    """STRICT FORWARD keyed as-of self-join (direction='forward',
+    strict=True on the shared Arrow side-tagged kernel): each order →
+    the same customer's earliest order on a STRICTLY LATER date —
+    completing the as-of family's direction × strictness grid (backward
+    non-strict = asof_orders / event_last_order). Tie-dedup contract
+    unchanged (max orderkey per (key, date)); inner semantics (each
+    customer's last-date orders drop)."""
+    from ray.data.aggregate import Max
+
+    from ..functions.window import asof_join_keyed
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    left = orders.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "o_custkey": b["o_custkey"],
+                            "lts": b["o_orderdate"]}),
+        batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": b["o_custkey"], "ots": b["o_orderdate"],
+                      "nk": b["o_orderkey"]})
+        g = t.group_by(["o_custkey", "ots"]).aggregate([("nk", "max")])
+        return g.rename_columns(["o_custkey", "ots", "nk"])
+
+    ded = (orders.map_batches(partial, batch_format="pyarrow")
+           .groupby(["o_custkey", "ots"])
+           .aggregate(Max("nk", alias_name="nk")))
+
+    joined = asof_join_keyed(left, ded, key="o_custkey", left_ts="lts",
+                             right_ts="ots", direction="forward",
+                             strict=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.invert(pc.is_null(b["nk"], nan_is_null=True)))
+        return pa.table({
+            "o_orderkey": keep["o_orderkey"],
+            "next_orderkey": pc.cast(pc.round(keep["nk"]), pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 @q("profile_orders", """
 SELECT 'o_custkey' AS col,
        CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
@@ -4221,7 +4274,7 @@ _DRIVER_PRIORITY = [
     #    fuzzy_pairs_brand, tokens_explode, token_bigrams,
     #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact,
     #    merge_upsert, llm_curate_exact, kmeans_clusters,
-    #    inverted_index, profile_orders) defer to round 5:
+    #    inverted_index, profile_orders, order_next_order) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
