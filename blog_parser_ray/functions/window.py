@@ -178,8 +178,13 @@ def asof_join_keyed(left: rd.Dataset, right: rd.Dataset, *, key: str,
         for c in r_only:            # all-empty-right partitions
             if c not in merged.columns:
                 merged[c] = _null_fill(out_schema.field(c).type)
-        return pa.Table.from_pandas(merged[all_cols], schema=out_schema,
-                                    preserve_index=False)
+        # from_pandas attaches `pandas` schema metadata even with an
+        # explicit schema — a dict that makes hash(schema) raise in
+        # sort-reduce's unify fast path (the worker-side "Failed to hash
+        # the schemas" warnings); strip it at the source
+        return pa.Table.from_pandas(
+            merged[all_cols], schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
 
     return (_with_pid(both, key, n_parts)
             .groupby("_pid").map_groups(per_part, batch_format="pyarrow"))
