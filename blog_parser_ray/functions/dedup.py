@@ -905,6 +905,80 @@ def _collect_pairs_sorted(ds: rd.Dataset, empty: pa.Table) -> pa.Table:
                                          ("b", "ascending")])
 
 
+def bucket_pair_expand(keyed: rd.Dataset, *, key_col: str, id_col: str,
+                       n_parts: int = 64, max_bucket: int | None = None,
+                       warn_bucket: int = 65536) -> rd.Dataset:
+    """(key, id) rows → globally-unique unordered candidate pairs (a < b)
+    of ids sharing a key — the bucket-expansion kernel shared by the
+    fuzzy join (key = deletion-variant hash) and the exact Jaccard join
+    (key = prefix shingle). Partition by ``hash(key) % n_parts``, then a
+    per-partition vectorized sort + segment scan + ``np.triu_indices``
+    expansion, then the global pair-hash dedup (``_dedup_pairs_ds``).
+
+    ``max_bucket=None`` (default) expands EVERY bucket — required by the
+    exact-complete contracts; buckets above ``warn_bucket`` ids log a
+    warning (a hot bucket means a near-duplicate cluster that exact
+    dedup should take first). Passing an int cap truncates oversized
+    buckets to the first ``max_bucket`` sorted ids — a documented recall
+    trade for LSH-style probabilistic consumers only.
+
+    (``_lsh_candidate_pairs`` keeps its own fused variant of this kernel:
+    its input is (band_hash, band) rows needing key-fusion and its
+    truncation policy is load-bearing for LSH bucket blowups.)"""
+    import logging
+
+    import pandas as pd
+
+    from ..hashing import stable_hash_ints
+
+    def add_pid(b: pa.Table) -> pa.Table:
+        kk = b[key_col]
+        if isinstance(kk, pa.ChunkedArray):
+            kk = kk.combine_chunks()
+        h = stable_hash_ints(kk.to_numpy().view(np.uint64))
+        return b.append_column(
+            "_bpid", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            d = g[id_col]
+            return pd.DataFrame({"a": d, "b": d})
+        g = (g.drop_duplicates(subset=[key_col, id_col])
+             .sort_values([key_col, id_col], kind="mergesort"))
+        kk = g[key_col].to_numpy()
+        d = g[id_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        sizes = np.diff(np.r_[starts, len(kk)])
+        a_out, b_out = [], []
+        for s in np.flatnonzero(sizes > 1):
+            m = int(sizes[s])
+            if max_bucket is not None and m > max_bucket:
+                logging.getLogger(__name__).warning(
+                    "bucket_pair_expand: bucket truncated %d → %d ids "
+                    "(%d pairs dropped)", m, max_bucket,
+                    (m * (m - 1) - max_bucket * (max_bucket - 1)) // 2)
+                m = max_bucket
+            elif m > warn_bucket:
+                logging.getLogger(__name__).warning(
+                    "bucket_pair_expand: hot bucket with %d ids "
+                    "(%d pairs) — consider exact dedup first", m,
+                    m * (m - 1) // 2)
+            ids = d[starts[s]:starts[s] + m]
+            ai, bj = np.triu_indices(m, k=1)
+            a_out.append(ids[ai])
+            b_out.append(ids[bj])
+        if not a_out:
+            return pd.DataFrame({"a": np.array([], dtype=d.dtype),
+                                 "b": np.array([], dtype=d.dtype)})
+        return pd.DataFrame({"a": np.concatenate(a_out),
+                             "b": np.concatenate(b_out)})
+
+    raw = (keyed.map_batches(add_pid, batch_format="pyarrow")
+           .groupby("_bpid").map_groups(arrow_out(per_part),
+                                        batch_format="pandas"))
+    return _dedup_pairs_ds(raw, n_parts, cols=["a", "b"])
+
+
 def _jaccard_exact_count_fn(tau_e4: int, id_type: pa.DataType):
     """Vectorized EXACT-integer Jaccard verify: same lexsort-adjacent
     intersection kernel as ``_jaccard_verify_fn``, but the threshold is
@@ -947,7 +1021,10 @@ def jaccard_join_exact(ds: rd.Dataset, *, id_col: str = "doc_id",
     """EXACT-COMPLETE word-k-shingle Jaccard similarity self-join: every
     pair with ``10000·|∩| ≥ tau_e4·|∪|`` (τ = tau_e4/10⁴), no LSH false
     negatives — the AllPairs/PPJoin prefix-filtering algorithm as Dataset
-    stages.
+    stages. Rows with fewer than k words have ZERO shingles here
+    (``short_fallback=False`` — the MinHash fold shingle is word-order-
+    insensitive and would break exact semantics and the SQL k-gram
+    oracle); exact dedup is the operator for short/blank duplicates.
 
     Completeness (the prefix lemma this relies on): order all shingles by
     global (document-frequency, hash) ascending — rarest first. For a set
@@ -984,8 +1061,8 @@ def jaccard_join_exact(ds: rd.Dataset, *, id_col: str = "doc_id",
     # prefix pass (broadcast plan) / explode (partitioned plan) — without
     # this the whole shingle computation re-executes per consumer
     sets = sub.map_batches(
-        _shingle_set_fn(lambda b: text_shingle_hashes(b[text_col], k),
-                        id_col),
+        _shingle_set_fn(lambda b: text_shingle_hashes(
+            b[text_col], k, short_fallback=False), id_col),
         batch_format="pyarrow").materialize()
 
     def explode(b: pa.Table) -> pa.Table:
@@ -1075,50 +1152,19 @@ def jaccard_join_exact(ds: rd.Dataset, *, id_col: str = "doc_id",
                 .groupby("_pid")
                 .map_groups(arrow_out(prefix_part), batch_format="pandas"))
 
-    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            d = g[id_col]
-            return pd.DataFrame({"a": d, "b": d})
-        g = g.sort_values(["sh", id_col], kind="mergesort")
-        kk = g["sh"].to_numpy()
-        d = g[id_col].to_numpy()
-        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
-        sizes = np.diff(np.r_[starts, len(kk)])
-        a_out, b_out = [], []
-        for s in np.flatnonzero(sizes > 1):
-            mm = int(sizes[s])
-            if mm > hot_bucket_warn:
-                logging.getLogger(__name__).warning(
-                    "jaccard_join_exact hot prefix bucket: %d ids "
-                    "(%d pairs) — consider exact dedup first", mm,
-                    mm * (mm - 1) // 2)
-            ids = d[starts[s]:starts[s] + mm]
-            ai, bj = np.triu_indices(mm, k=1)
-            a_out.append(ids[ai])
-            b_out.append(ids[bj])
-        if not a_out:
-            return pd.DataFrame({"a": np.array([], dtype=d.dtype),
-                                 "b": np.array([], dtype=d.dtype)})
-        return pd.DataFrame({"a": np.concatenate(a_out),
-                             "b": np.concatenate(b_out)})
-
-    def bucket_pid(b: pa.Table) -> pa.Table:
-        h = b["sh"].to_numpy().view(np.uint64)
-        return b.append_column(
-            "_bpid", pa.array((stable_hash_ints(h) % np.uint64(n_parts))
-                              .astype(np.int64)))
-
-    raw = (pref.map_batches(bucket_pid, batch_format="pyarrow")
-           .groupby("_bpid")
-           .map_groups(arrow_out(pair_part), batch_format="pandas"))
-    pairs = _dedup_pairs_ds(raw, n_parts, cols=["a", "b"]).materialize()
+    pairs = bucket_pair_expand(
+        pref.map_batches(lambda b, ic=id_col: b.select(["sh", ic]),
+                         batch_format="pyarrow"),
+        key_col="sh", id_col=id_col, n_parts=n_parts,
+        warn_bucket=hot_bucket_warn).materialize()
 
     id_type = _id_type_of(ds, id_col)
+    # verify reuses the MATERIALIZED set lists (identity payload) — no
+    # re-shingling, and the scale path semi-gathers compact int64 lists
+    # instead of raw text
     return _verify_with_payload(
-        sub, pairs,
-        _shingle_set_fn(lambda b: text_shingle_hashes(b[text_col], k),
-                        id_col),
-        id_col=id_col, payload_cols=[id_col, text_col], val_col="sh",
+        sets, pairs, lambda b: b,
+        id_col=id_col, payload_cols=[id_col, "sh"], val_col="sh",
         verify_fn=_jaccard_exact_count_fn(tau_e4, id_type))
 
 
@@ -1636,7 +1682,7 @@ def token_shingle_hashes(tokens, k: int = 3):
     return _window_shingles(vals, offsets - lo, k, hash_token_lists(tokens))
 
 
-def text_shingle_hashes(text_col, k: int = 3):
+def text_shingle_hashes(text_col, k: int = 3, short_fallback: bool = True):
     """Word-shingle hashes of a string column, vectorized: split → per-word
     stable hash → k-window combine (same machinery as token shingles).
 
@@ -1644,6 +1690,13 @@ def text_shingle_hashes(text_col, k: int = 3):
     (unlike ``str.split``) returns [''] for an empty string, which would
     give every blank doc the identical fallback shingle and an O(n²) LSH
     pair blowup — exact dedup is the operator for identical blank docs.
+
+    ``short_fallback``: rows with fewer than k words normally get ONE
+    xor-fold shingle so MinHash LSH can still bucket them — but the fold
+    is WORD-ORDER-INSENSITIVE, which an exact-semantics consumer must not
+    inherit ("foo bar" vs "bar foo" would claim J=1). Pass False to give
+    short rows zero shingles instead (the jaccard_join_exact contract,
+    matching a SQL k-gram construction that emits nothing below k words).
     """
     from ..hashing import stable_hash_ints
 
@@ -1668,11 +1721,13 @@ def text_shingle_hashes(text_col, k: int = 3):
             wh, offsets[:-1][nonempty])
     fold = stable_hash_ints(fold ^ lengths.astype(np.uint64))
     sh, starts, n_out = _window_shingles(wh, offsets, k, fold)
-    # zero out blank rows AFTER the window pass: their shingles are dropped
-    # by compacting the output (n_out=0 rows emit nothing downstream)
-    if (~nonblank).any():
-        new_n = np.where(nonblank, n_out, 0)
-        keep_idx = np.flatnonzero(nonblank)
+    # zero out blank (and, without the fallback, short) rows AFTER the
+    # window pass: their shingles are dropped by compacting the output
+    # (n_out=0 rows emit nothing downstream)
+    keep_rows = nonblank if short_fallback else nonblank & (lengths >= k)
+    if (~keep_rows).any():
+        new_n = np.where(keep_rows, n_out, 0)
+        keep_idx = np.flatnonzero(keep_rows)
         counts = n_out[keep_idx]
         total = int(counts.sum())
         local = (np.arange(total, dtype=np.int64)

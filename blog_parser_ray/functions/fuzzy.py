@@ -29,10 +29,15 @@ Scale design (all stages are Dataset stages; nothing all-pairs):
    row keys within the blocking column via the repo's partitioned
    equi-joins; only thin (key, name, block) columns shuffle.
 
-Known truncation (logged, same policy as _lsh_candidate_pairs): a
-variant bucket larger than ``max_bucket`` names is truncated — such a
-bucket means thousands of distinct names within k edits of one string,
-where exact-dedup/normalization is the right tool.
+Completeness: no bucket cap is applied by default (a cap would drop
+true pairs and break the levenshtein-oracle parity); a variant bucket
+with very many names logs a hot-bucket warning via the shared
+``bucket_pair_expand`` kernel — such a bucket means thousands of
+distinct names within k edits of one string, where exact
+dedup/normalization is the right first tool. Distances are BYTE-level over
+UTF-8 — measured to match DuckDB's ``levenshtein`` exactly (it scores
+bytes: 'café'→'cafe' = 2); blocking stays character-level, a provable
+superset, so non-ASCII completeness is unaffected.
 """
 
 from __future__ import annotations
@@ -45,12 +50,15 @@ import ray.data as rd
 
 from ..hashing import stable_hash_strings
 from .join import equi_join, equi_join_multi
-from .util import arrow_out
-from .dedup import _dedup_pairs_ds
 
 
-def levenshtein_vec(a_list: list[bytes], b_list: list[bytes]) -> np.ndarray:
-    """Exact Levenshtein distance for P string pairs at once.
+def levenshtein_vec(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    """Exact BYTE-level Levenshtein distance over UTF-8 for P string
+    pairs at once — deliberately byte-level: DuckDB's ``levenshtein``
+    scores bytes (measured: levenshtein('café','cafe') = 2), so this is
+    the oracle-exact semantic. Candidate blocking uses CHARACTER-level
+    deletion variants, a superset (char-distance ≤ byte-distance), so
+    completeness is preserved for non-ASCII names.
 
     Classic DP, vectorized ACROSS pairs: one (P, Bmax+1) row per DP step.
     cur[j] = min(t[j], cur[j-1]+1) with t = min(substitution, deletion)
@@ -61,17 +69,19 @@ def levenshtein_vec(a_list: list[bytes], b_list: list[bytes]) -> np.ndarray:
     P = len(a_list)
     if P == 0:
         return np.zeros(0, dtype=np.int64)
-    la = np.fromiter((len(x) for x in a_list), np.int64, P)
-    lb = np.fromiter((len(x) for x in b_list), np.int64, P)
+    ab = [x.encode() for x in a_list]
+    bb = [x.encode() for x in b_list]
+    la = np.fromiter((len(x) for x in ab), np.int64, P)
+    lb = np.fromiter((len(x) for x in bb), np.int64, P)
     Am, Bm = int(la.max()), int(lb.max())
     A = np.zeros((P, max(Am, 1)), dtype=np.uint8)
     B = np.zeros((P, max(Bm, 1)), dtype=np.uint8)
-    for i, s in enumerate(a_list):
-        if s:
-            A[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-    for i, s in enumerate(b_list):
-        if s:
-            B[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    for i, x in enumerate(ab):
+        if x:
+            A[i, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+    for i, x in enumerate(bb):
+        if x:
+            B[i, : len(x)] = np.frombuffer(x, dtype=np.uint8)
     jr = np.arange(Bm + 1, dtype=np.int32)
     prev = np.broadcast_to(jr, (P, Bm + 1)).copy()
     res = prev.copy()                     # rows with la == 0: dist = lb
@@ -105,14 +115,13 @@ def _deletion_variants(name: str, k: int) -> set[str]:
 
 def edit_distance_pairs(names: rd.Dataset, *, name_col: str = "name",
                         k: int = 2, n_parts: int = 64,
-                        max_bucket: int = 2048) -> rd.Dataset:
+                        max_bucket: int | None = None) -> rd.Dataset:
     """DISTINCT names → verified (na, nb, dist) pairs with na < nb and
     ``lev <= k``. The deletion-variant loop is per DISTINCT name (the
     stage after the distinct reduce — cardinality is unique-value count,
-    not corpus rows), so the comprehension is not a hot row path."""
-    import logging
-
-    import pandas as pd
+    not corpus rows), so the comprehension is not a hot row path.
+    ``max_bucket=None`` keeps the candidate set provably complete; an
+    int cap is a documented recall trade (bucket_pair_expand)."""
 
     def variants(batch: pa.Table) -> pa.Table:
         nm_in = batch[name_col].to_pylist()
@@ -127,50 +136,18 @@ def edit_distance_pairs(names: rd.Dataset, *, name_col: str = "name",
         return pa.table({
             "key": pa.array(key.astype(np.int64)),
             "name": pa.array(nms, type=pa.string()),
-            "_pid": pa.array((key % np.uint64(n_parts)).astype(np.int64)),
         })
 
     keyed = names.map_batches(variants, batch_format="pyarrow")
 
-    # same segment-scan + triu expansion as _lsh_candidate_pairs, with
-    # string ids; duplicate (variant, name) rows from hash-colliding
-    # variants of ONE name are dropped before expansion.
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            d = g["name"]
-            return pd.DataFrame({"a": d, "b": d})
-        g = g.drop_duplicates(subset=["key", "name"]).sort_values(
-            ["key", "name"], kind="mergesort")
-        kk = g["key"].to_numpy()
-        d = g["name"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
-        sizes = np.diff(np.r_[starts, len(kk)])
-        a_out, b_out = [], []
-        for s in np.flatnonzero(sizes > 1):
-            m = int(sizes[s])
-            if m > max_bucket:
-                logging.getLogger(__name__).warning(
-                    "fuzzy variant bucket truncated: %d names > "
-                    "max_bucket=%d", m, max_bucket)
-                m = max_bucket
-            ids = d[starts[s]:starts[s] + m]
-            ai, bj = np.triu_indices(m, k=1)
-            a_out.append(ids[ai])
-            b_out.append(ids[bj])
-        if not a_out:
-            return pd.DataFrame({"a": np.array([], dtype=object),
-                                 "b": np.array([], dtype=object)})
-        return pd.DataFrame({"a": np.concatenate(a_out),
-                             "b": np.concatenate(b_out)})
+    from .dedup import bucket_pair_expand
 
-    raw = keyed.groupby("_pid").map_groups(
-        arrow_out(per_part), batch_format="pandas")
-    cand = _dedup_pairs_ds(raw, n_parts, cols=["a", "b"])
+    cand = bucket_pair_expand(keyed, key_col="key", id_col="name",
+                              n_parts=n_parts, max_bucket=max_bucket)
 
     def verify(batch: pa.Table) -> pa.Table:
-        a = [x.encode() for x in batch["a"].to_pylist()]
-        b = [x.encode() for x in batch["b"].to_pylist()]
-        dist = levenshtein_vec(a, b)
+        dist = levenshtein_vec(batch["a"].to_pylist(),
+                               batch["b"].to_pylist())
         keep = dist <= k
         t = batch.filter(pa.array(keep))
         return pa.table({"na": t["a"], "nb": t["b"],

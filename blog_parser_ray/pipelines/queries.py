@@ -3518,12 +3518,18 @@ def funnel_3step(sf_dir: str):
     f = equi_join(equi_join(base, m2, left_on="user_id", right_on="u2",
                             how="left"),
                   m3, left_on="user_id", right_on="u3", how="left")
+    # NaN-safe presence check: equi_join's bucketed fallback plan pads
+    # unmatched left-join rows with float NaN (not Arrow null), and
+    # pc.is_valid(NaN) is true — nan_is_null covers both plans
+    def _present(col):
+        return pc.invert(pc.is_null(col, nan_is_null=True))
+
     return f.map_batches(
         lambda b: pa.table({
             "user_id": b["user_id"],
             "reached": pc.if_else(
-                pc.is_valid(b["t3"]), pa.scalar(3, pa.int64()),
-                pc.if_else(pc.is_valid(b["t2"]),
+                _present(b["t3"]), pa.scalar(3, pa.int64()),
+                pc.if_else(_present(b["t2"]),
                            pa.scalar(2, pa.int64()),
                            pa.scalar(1, pa.int64())))}),
         batch_format="pyarrow")

@@ -34,10 +34,23 @@ def test_levenshtein_vec_matches_reference_dp():
              for _ in range(500)]
     pairs += [("", ""), ("abc", ""), ("", "xyz"), ("same", "same"),
               ("kitten", "sitting"), ("flaw", "lawn")]
-    got = levenshtein_vec([a.encode() for a, _ in pairs],
-                          [b.encode() for _, b in pairs])
+    got = levenshtein_vec([a for a, _ in pairs], [b for _, b in pairs])
     exp = np.array([_lev_py(a, b) for a, b in pairs])
     assert (got == exp).all()
+
+
+def test_levenshtein_vec_matches_duckdb_on_unicode():
+    """Oracle parity on non-ASCII: DuckDB's levenshtein is BYTE-level
+    (levenshtein('café','cafe') = 2, not 1) and the kernel must agree
+    byte-for-byte — a code-point DP would diverge from the SQL oracle."""
+    import duckdb
+
+    cases = [("café", "cafe"), ("naïve", "naive"), ("日本語", "日本誤"),
+             ("żółw", "zolw"), ("abc", "abc"), ("héllo", "héllo")]
+    got = levenshtein_vec([a for a, _ in cases], [b for _, b in cases])
+    exp = [duckdb.sql(f"select levenshtein('{a}', '{b}')").fetchone()[0]
+           for a, b in cases]
+    assert got.tolist() == exp
 
 
 def test_deletion_neighborhood_complete_for_k2():

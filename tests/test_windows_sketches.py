@@ -623,3 +623,30 @@ def test_extended_session_ops_partition_invariant():
         finally:
             qmod._read = orig_read
         pd.testing.assert_frame_equal(a, b, check_dtype=False), name
+
+
+def test_jaccard_exact_short_docs_have_no_fold_shingles():
+    """Exact-join contract (review finding): docs under k words get ZERO
+    shingles — the MinHash fold shingle is word-order-insensitive and
+    would pair 'foo bar' with 'bar foo' at J=1 while the SQL k-gram
+    oracle emits nothing. Both short-short and short-long pairs must be
+    absent; normal-length planted dups must still be found."""
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from blog_parser_ray.functions.dedup import jaccard_join_exact
+
+    t = _pa.table({
+        "doc_id": _pa.array([1, 2, 3, 4], type=_pa.int64()),
+        "text": _pa.array([
+            "foo bar",                       # < k words (k=3)
+            "bar foo",                       # < k words, same word SET
+            "alpha beta gamma delta epsilon",
+            "alpha beta gamma delta epsilon",  # true duplicate
+        ])})
+    out = (jaccard_join_exact(_rd.from_arrow(t), id_col="doc_id",
+                              text_col="text", k=3, tau_e4=6000)
+           .to_pandas())
+    pairs = set(zip(out["a"], out["b"]))
+    assert (1, 2) not in pairs          # fold shingle must not leak in
+    assert (3, 4) in pairs              # real dup still found
