@@ -4179,6 +4179,81 @@ def kmeans_clusters(sf_dir: str):
                         k=10, iters=2)
 
 
+@q("table_diff", """
+WITH newt AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 17 <> 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 1000.0, 'U'
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice, 'N'
+  FROM orders WHERE o_orderkey % 23 = 0),
+base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
+SELECT CAST(COALESCE(b.o_orderkey, n.o_orderkey) AS BIGINT) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM base b FULL OUTER JOIN newt n ON b.o_orderkey = n.o_orderkey
+WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR CAST(floor(b.o_totalprice * 100 + 0.5) AS BIGINT)
+        <> CAST(floor(n.o_totalprice * 100 + 0.5) AS BIGINT)
+   OR b.o_orderstatus <> n.o_orderstatus
+""")
+def table_diff(sf_dir: str):
+    """Snapshot reconciliation (the diff half of the CDC story): compare
+    the orders base against the merge_upsert output and report every
+    key as added / removed / changed (value comparison in exact integer
+    cents — float equality never enters). One full-outer keyed join
+    (equi_join routes outer to the bucketed plan that preserves BOTH key
+    columns with SQL null semantics) + a vectorized classify; unchanged
+    rows are filtered batch-local so the output is delta-sized."""
+    from ..functions.join import equi_join
+
+    base = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    bb = base.map_batches(
+        lambda b: pa.table({"bk": b["o_orderkey"],
+                            "bc": _cents(b["o_totalprice"]),
+                            "bs": b["o_orderstatus"]}),
+        batch_format="pyarrow")
+    nn = QUERIES["merge_upsert"](sf_dir).map_batches(
+        lambda b: pa.table({"nk": b["o_orderkey"],
+                            "nc": _cents(b["o_totalprice"]),
+                            "ns": b["o_orderstatus"]}),
+        batch_format="pyarrow")
+    j = equi_join(bb, nn, left_on="bk", right_on="nk", how="outer")
+
+    def classify(b: pa.Table) -> pa.Table:
+        bk_null = pc.is_null(b["bk"], nan_is_null=True)
+        nk_null = pc.is_null(b["nk"], nan_is_null=True)
+        both = pc.and_(pc.invert(bk_null), pc.invert(nk_null))
+        # integer cents may surface as float64 via the outer join's
+        # pandas padding — round-trip through float-safe casts
+        bc = pc.cast(pc.round(pc.cast(b["bc"], pa.float64())), pa.int64())
+        nc = pc.cast(pc.round(pc.cast(b["nc"], pa.float64())), pa.int64())
+        # KLEENE logic required: plain pc.or_/and_ return null when any
+        # input is null, so `True OR null` would be null and fill_null
+        # would drop every added/removed row
+        changed = pc.and_kleene(both, pc.or_kleene(
+            pc.not_equal(bc, nc), pc.not_equal(b["bs"], b["ns"])))
+        keep = pc.or_kleene(pc.or_kleene(bk_null, nk_null), changed)
+        keep = pc.fill_null(keep, False)
+        t = b.filter(keep)
+        bkn = pc.is_null(t["bk"], nan_is_null=True)
+        nkn = pc.is_null(t["nk"], nan_is_null=True)
+        key = pc.if_else(bkn, pc.cast(pc.round(pc.cast(t["nk"], pa.float64())),
+                                      pa.int64()),
+                         pc.cast(pc.round(pc.cast(t["bk"], pa.float64())),
+                                 pa.int64()))
+        status = pc.if_else(
+            bkn, pa.scalar("added"),
+            pc.if_else(nkn, pa.scalar("removed"), pa.scalar("changed")))
+        return pa.table({"o_orderkey": key, "status": status})
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
 @q("cohort_retention", """
 WITH fu AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
             FROM events GROUP BY user_id),
@@ -4280,7 +4355,8 @@ _DRIVER_PRIORITY = [
     #    fuzzy_pairs_brand, tokens_explode, token_bigrams,
     #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact,
     #    merge_upsert, llm_curate_exact, kmeans_clusters,
-    #    inverted_index, profile_orders, order_next_order) defer to round 5:
+    #    inverted_index, profile_orders, order_next_order,
+    #    table_diff) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
