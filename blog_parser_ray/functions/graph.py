@@ -125,3 +125,88 @@ def pagerank_int(edges: rd.Dataset, iters: int = 5,
         ranks = (nj.map_batches(step, batch_format="pyarrow")
                  .materialize())
     return ranks
+
+
+def bfs_levels(edges: rd.Dataset, *, seed_mod: int, iters: int = 3,
+               n_parts: int = 16) -> rd.Dataset:
+    """Breadth-first levels over the UNDIRECTED graph of ``edges``
+    (src, dst), starting from the seed set {src nodes ≡ 0 mod
+    ``seed_mod``}: (node, level) for every node within ``iters`` hops —
+    the reachability/shortest-hops primitive next to PageRank and
+    connected components. All quantities are integers, so the result is
+    layout-independent and an unrolled-CTE SQL oracle matches
+    hash-exactly.
+
+    Per round (the 100 TB shape): frontier ⋈ undirected edges (one keyed
+    join, edge-scale), per-block unique + grouped distinct of the
+    neighbor set, then the plan-selected visited anti-filter
+    (functions/dedup.py _anti_filter_keys: broadcast ≤5M distinct
+    visited nodes, else one bucketed anti-join — driver memory
+    independent of graph size). Frontiers and the visited set are
+    node-scale Datasets; edge payloads never accumulate."""
+    from .dedup import _anti_filter_keys
+    from .join import equi_join
+
+    und = edges.map_batches(
+        lambda b: pa.table({"a": pa.concat_arrays([
+            b["src"].combine_chunks() if isinstance(b["src"], pa.ChunkedArray)
+            else b["src"],
+            b["dst"].combine_chunks() if isinstance(b["dst"], pa.ChunkedArray)
+            else b["dst"]]),
+            "b": pa.concat_arrays([
+                b["dst"].combine_chunks()
+                if isinstance(b["dst"], pa.ChunkedArray) else b["dst"],
+                b["src"].combine_chunks()
+                if isinstance(b["src"], pa.ChunkedArray) else b["src"]])}),
+        batch_format="pyarrow").materialize()
+
+    def _distinct(ds: rd.Dataset, col: str) -> rd.Dataset:
+        return (ds.groupby(col).count()
+                .map_batches(lambda b, c=col: b.select([c]),
+                             batch_format="pyarrow"))
+
+    frontier = _distinct(edges.map_batches(
+        lambda b, m=seed_mod: pa.table(
+            {"node": pc.filter(b["src"],
+                               pc.equal(pc.subtract(
+                                   b["src"],
+                                   pc.multiply(pc.divide(b["src"], m), m)),
+                                   0))}),
+        batch_format="pyarrow"), "node").materialize()
+    levels = [frontier]
+
+    for _ in range(iters):
+        # edges stay put: the UNIQUE frontier is the broadcast build side
+        # (classic frontier-broadcast BFS) — equi_join ships it once via
+        # ray.put and each edge batch does a vectorized is_in-style probe;
+        # beyond the broadcast limit the plan falls back to the
+        # partitioned join automatically
+        nbr = equi_join(
+            und,
+            frontier.map_batches(lambda b: pa.table({"fn": b["node"]}),
+                                 batch_format="pyarrow"),
+            left_on="a", right_on="fn", num_partitions=n_parts)
+        cand = _distinct(nbr.map_batches(
+            lambda b: pa.table({"node": b["b"]}), batch_format="pyarrow"),
+            "node")
+        seen = levels[0]
+        for lv in levels[1:]:
+            seen = seen.union(lv)
+        frontier = _anti_filter_keys(
+            cand, seen.map_batches(
+                lambda b: pa.table({"_drop": b["node"]}),
+                batch_format="pyarrow"),
+            "node").materialize()
+        if frontier.count() == 0:
+            break
+        levels.append(frontier)
+
+    out = None
+    for i, lv in enumerate(levels):
+        t = lv.map_batches(
+            lambda b, i=i: pa.table({
+                "node": pc.cast(b["node"], pa.int64()),
+                "level": pa.array(np.full(b.num_rows, i, dtype=np.int64))}),
+            batch_format="pyarrow")
+        out = t if out is None else out.union(t)
+    return out

@@ -4179,6 +4179,44 @@ def kmeans_clusters(sf_dir: str):
                         k=10, iters=2)
 
 
+@q("bfs_levels", """
+WITH e AS (SELECT DISTINCT l_orderkey AS a,
+                           l_partkey + 1000000000 AS b FROM lineitem),
+und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT a AS node FROM e WHERE a % 100 = 0),
+l1 AS (SELECT DISTINCT und.b AS node FROM und JOIN l0 ON und.a = l0.node
+       WHERE und.b NOT IN (SELECT node FROM l0)),
+l2 AS (SELECT DISTINCT und.b AS node FROM und JOIN l1 ON und.a = l1.node
+       WHERE und.b NOT IN (SELECT node FROM l0)
+         AND und.b NOT IN (SELECT node FROM l1)),
+l3 AS (SELECT DISTINCT und.b AS node FROM und JOIN l2 ON und.a = l2.node
+       WHERE und.b NOT IN (SELECT node FROM l0)
+         AND und.b NOT IN (SELECT node FROM l1)
+         AND und.b NOT IN (SELECT node FROM l2))
+SELECT CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS level FROM l0
+UNION ALL SELECT CAST(node AS BIGINT), 1 FROM l1
+UNION ALL SELECT CAST(node AS BIGINT), 2 FROM l2
+UNION ALL SELECT CAST(node AS BIGINT), 3 FROM l3
+""")
+def bfs_levels(sf_dir: str):
+    """Breadth-first shortest-hop levels (3 rounds) over the undirected
+    order↔part bipartite graph from seed orders ≡ 0 (mod 100) — the
+    reachability primitive completing the graph family (PageRank,
+    connected components, triangles). Integer levels → hash-exact
+    unrolled-CTE oracle; per round one edge-scale keyed join + distinct
+    + the plan-selected visited anti-filter (functions/graph.py
+    bfs_levels)."""
+    from ..functions.graph import bfs_levels as _bfs
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = ds.map_batches(
+        lambda b: pa.table({
+            "src": b["l_orderkey"],
+            "dst": pc.add(b["l_partkey"], 1_000_000_000)}),
+        batch_format="pyarrow")
+    return _bfs(edges, seed_mod=100, iters=3)
+
+
 @q("table_diff", """
 WITH newt AS (
   SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -4356,7 +4394,7 @@ _DRIVER_PRIORITY = [
     #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact,
     #    merge_upsert, llm_curate_exact, kmeans_clusters,
     #    inverted_index, profile_orders, order_next_order,
-    #    table_diff) defer to round 5:
+    #    table_diff, bfs_levels) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
