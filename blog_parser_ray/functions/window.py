@@ -391,6 +391,50 @@ def moving_sum(ds: rd.Dataset, *, key: str, order_col: str, tiebreak: str,
             .drop_columns(["_pid"]))
 
 
+def moving_anomaly(ds: rd.Dataset, *, key: str, order_col: str,
+                   tiebreak: str, val_col: str, preceding: int,
+                   flag_col: str = "anomaly",
+                   n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """Windowed 2σ anomaly flag in PURE INTEGER arithmetic: over the
+    trailing frame (``preceding`` PRECEDING .. CURRENT ROW) of the
+    integer ``val_col``, flag rows where (x − μ)² > 4σ² — cross-
+    multiplied by n² so no division or float ever appears:
+
+        (n·x − s)² > 4·(n·ss − s²)      (s = Σv, ss = Σv², n = frame size)
+
+    which a SQL oracle reproduces verbatim — windowed variance becomes
+    hash-exact instead of float-fragile. int64 headroom: every term is
+    ≤ (n·max|v|)², so n·max|v| must stay under ~3·10⁹ (e.g. cents ≤ 10⁷
+    with frames up to ~300 rows). Same one-shuffle sort-segment plan as
+    moving_sum (frames never cross key boundaries)."""
+    if preceding < 0:
+        raise ValueError("preceding must be >= 0")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[flag_col] = pd.Series([], dtype="bool")
+            return out
+        g, first, start = _segment_sorted(g, key, [order_col, tiebreak])
+        v = g[val_col].to_numpy().astype(np.int64)
+        idx = np.arange(len(g), dtype=np.int64)
+        lo = np.maximum(start, idx - preceding)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        cs2 = np.concatenate([[0], np.cumsum(v * v)])
+        n = idx - lo + 1
+        s = cs[idx + 1] - cs[lo]
+        ss = cs2[idx + 1] - cs2[lo]
+        lhs = (n * v - s) ** 2
+        rhs = 4 * (n * ss - s * s)
+        out = g.copy()
+        out[flag_col] = lhs > rhs
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
+            .drop_columns(["_pid"]))
+
+
 def _key_sizes(first: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-row (count of rows in this row's key, 0-based row index within
     the key's last row) from the first-row-of-key mask."""

@@ -4217,6 +4217,45 @@ def bfs_levels(sf_dir: str):
     return _bfs(edges, seed_mod=100, iters=3)
 
 
+@q("orders_price_anomaly", """
+WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+           FROM orders),
+w AS (SELECT o_custkey, o_orderkey, x,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(x) OVER win AS BIGINT) AS s,
+             CAST(sum(x * x) OVER win AS BIGINT) AS ss
+      FROM c
+      WINDOW win AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT o_custkey, o_orderkey,
+       (n * x - s) * (n * x - s) > 4 * (n * ss - s * s) AS anomaly
+FROM w
+""")
+def orders_price_anomaly(sf_dir: str):
+    """Windowed 2σ anomaly detection over each customer's trailing
+    7-order price frame — in PURE INTEGER arithmetic: the flag
+    (x−μ)² > 4σ² is cross-multiplied by n² to
+    (n·x−s)² > 4(n·ss−s²), so windowed variance needs no division, no
+    float, and the SQL oracle is hash-exact (functions/window.py
+    moving_anomaly: one sort-segment shuffle, two cumsums)."""
+    from ..functions.window import moving_anomaly
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice"])
+    cents = orders.map_batches(
+        lambda b: b.append_column("cents", _cents(b["o_totalprice"])),
+        batch_format="pyarrow")
+    out = moving_anomaly(cents, key="o_custkey", order_col="o_orderdate",
+                         tiebreak="o_orderkey", val_col="cents",
+                         preceding=6, flag_col="anomaly")
+    return out.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "anomaly"]),
+        batch_format="pyarrow")
+
+
 @q("table_diff", """
 WITH newt AS (
   SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -4394,7 +4433,7 @@ _DRIVER_PRIORITY = [
     #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact,
     #    merge_upsert, llm_curate_exact, kmeans_clusters,
     #    inverted_index, profile_orders, order_next_order,
-    #    table_diff, bfs_levels) defer to round 5:
+    #    table_diff, bfs_levels, orders_price_anomaly) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
