@@ -4256,6 +4256,97 @@ def orders_price_anomaly(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("event_transitions", """
+WITH l AS (SELECT user_id, event_type AS cur,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+FROM l WHERE nxt IS NOT NULL GROUP BY cur, nxt
+""")
+def event_transitions(sf_dir: str):
+    """Per-user event-type transition matrix (clickstream path
+    analysis): counts of consecutive (current → next) event-type pairs
+    under the deterministic (ts, event_id) order. One hash-partition
+    shuffle on user, a vectorized segment scan for adjacent pairs, then
+    type-pair-sized partial counts into a tiny groupby — the event-
+    stream twin of token_bigrams."""
+    import pandas as pd
+
+    from ..functions.util import arrow_out
+    from ..functions.window import _segment_sorted, _with_pid
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"cur": g["event_type"],
+                                 "nxt": g["event_type"],
+                                 "pcnt": pd.Series([], dtype="int64")})
+        g, first, _ = _segment_sorted(g, "user_id", ["ts", "event_id"])
+        t = g["event_type"].to_numpy()
+        same = ~first[1:]                      # next row is the same user
+        pairs = pd.DataFrame({"cur": t[:-1][same], "nxt": t[1:][same]})
+        out = (pairs.value_counts().rename("pcnt").reset_index())
+        return out
+
+    partials = (_with_pid(ev, "user_id")
+                .groupby("_pid")
+                .map_groups(arrow_out(per_part), batch_format="pandas"))
+    return (partials.groupby(["cur", "nxt"]).sum("pcnt")
+            .map_batches(
+                lambda b: pa.table({"cur": b["cur"], "nxt": b["nxt"],
+                                    "cnt": pc.cast(b["sum(pcnt)"],
+                                                   pa.int64())}),
+                batch_format="pyarrow"))
+
+
+@q("weekly_revenue_growth", """
+WITH w AS (SELECT CAST(date_diff('day', DATE '1970-01-05',
+                                 date_trunc('week', o_orderdate)) // 7
+                       AS BIGINT) AS wk,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS rev
+           FROM orders GROUP BY 1)
+SELECT CAST(DATE '1970-01-05' + (wk * 7) * INTERVAL 1 DAY
+            AS TIMESTAMP) AS week,
+       rev, COALESCE(CAST(lag(rev) OVER (ORDER BY wk) AS BIGINT), -1)
+              AS prev_rev
+FROM w
+""")
+def weekly_revenue_growth(sf_dir: str):
+    """Weekly revenue with the previous week's value alongside (the
+    period-over-period growth shape) — a WINDOW OVER AN AGGREGATE:
+    distributed exact-cents weekly sums (partial-per-block), then the
+    lag over the week-scale result (≈ hundreds of rows — inherently
+    driver-sized, the documented exception to no-driver-materialization)
+    computed as one numpy shift. Integer weeks via the (day−4)//7 ISO
+    arithmetic; revenues stay integer cents so the pair (rev, prev_rev)
+    is hash-exact; missing predecessor is pinned to −1 on both sides."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    wk = orders.map_batches(
+        lambda b: pa.table({
+            "wk": pc.divide(
+                pc.subtract(pc.divide(pc.cast(b["o_orderdate"],
+                                              pa.timestamp("us")).cast(pa.int64()),
+                                      _US_PER_DAY), 4), 7),
+            "cents": _cents(b["o_totalprice"])}),
+        batch_format="pyarrow")
+    agg = wk.groupby("wk").sum("cents")
+    t = _collect_table(agg, pa.table({"wk": pa.array([], pa.int64()),
+                                      "sum(cents)": pa.array([], pa.int64())}))
+    w = t["wk"].to_numpy()
+    order = np.argsort(w, kind="mergesort")
+    w = w[order]
+    rev = t["sum(cents)"].to_numpy()[order].astype(np.int64)
+    prev = np.concatenate([[-1], rev[:-1]])
+    return pa.table({
+        "week": pa.array((w * 7 + 4) * _US_PER_DAY).cast(pa.timestamp("us")),
+        "rev": pa.array(rev),
+        "prev_rev": pa.array(prev)})
+
+
 @q("table_diff", """
 WITH newt AS (
   SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -4433,7 +4524,8 @@ _DRIVER_PRIORITY = [
     #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact,
     #    merge_upsert, llm_curate_exact, kmeans_clusters,
     #    inverted_index, profile_orders, order_next_order,
-    #    table_diff, bfs_levels, orders_price_anomaly) defer to round 5:
+    #    table_diff, bfs_levels, orders_price_anomaly,
+    #    event_transitions, weekly_revenue_growth) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at

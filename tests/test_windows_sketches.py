@@ -607,7 +607,8 @@ def test_extended_session_ops_partition_invariant():
              "token_bigrams", "centroids_by_label", "bigram_familiarity",
              "jaccard_pairs_exact", "merge_upsert", "kmeans_clusters",
              "inverted_index", "profile_orders", "order_next_order",
-             "table_diff", "bfs_levels", "orders_price_anomaly"]
+             "table_diff", "bfs_levels", "orders_price_anomaly",
+             "event_transitions", "weekly_revenue_growth"]
 
     def norm(obj):
         df = obj.to_pandas() if not isinstance(obj, pd.DataFrame) else obj
