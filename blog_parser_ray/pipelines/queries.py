@@ -4256,6 +4256,59 @@ def orders_price_anomaly(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("orders_drawdown", """
+WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+           FROM orders)
+SELECT o_custkey, o_orderkey,
+       CAST(max(x) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS peak,
+       CAST(max(x) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - x AS BIGINT)
+         AS drawdown
+FROM c
+""")
+def orders_drawdown(sf_dir: str):
+    """Running peak + drawdown per customer (the cumulative-MAX window,
+    completing the running-aggregate family next to cumsum): peak =
+    MAX(cents) over the unbounded trailing frame, drawdown = peak −
+    current — all integer cents, hash-exact. Same one-shuffle
+    sort-segment plan; the per-key cummax is pandas' C groupby kernel."""
+    import pandas as pd
+
+    from ..functions.util import arrow_out
+    from ..functions.window import _segment_sorted, _with_pid
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice"])
+    cents = orders.map_batches(
+        lambda b: b.append_column("x", _cents(b["o_totalprice"])),
+        batch_format="pyarrow")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out["peak"] = pd.Series([], dtype="int64")
+            out["drawdown"] = pd.Series([], dtype="int64")
+            return out[["o_custkey", "o_orderkey", "peak", "drawdown"]]
+        g, _, _ = _segment_sorted(g, "o_custkey",
+                                  ["o_orderdate", "o_orderkey"])
+        peak = g.groupby("o_custkey", sort=False)["x"].cummax()
+        out = g[["o_custkey", "o_orderkey"]].copy()
+        out["peak"] = peak.to_numpy()
+        out["drawdown"] = peak.to_numpy() - g["x"].to_numpy()
+        return out
+
+    return (_with_pid(cents, "o_custkey")
+            .groupby("_pid")
+            .map_groups(arrow_out(per_part), batch_format="pandas"))
+
+
 @q("event_transitions", """
 WITH l AS (SELECT user_id, event_type AS cur,
                   lead(event_type) OVER (PARTITION BY user_id
@@ -4525,7 +4578,8 @@ _DRIVER_PRIORITY = [
     #    merge_upsert, llm_curate_exact, kmeans_clusters,
     #    inverted_index, profile_orders, order_next_order,
     #    table_diff, bfs_levels, orders_price_anomaly,
-    #    event_transitions, weekly_revenue_growth) defer to round 5:
+    #    event_transitions, weekly_revenue_growth, orders_drawdown)
+    #    defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
