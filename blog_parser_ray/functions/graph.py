@@ -147,18 +147,20 @@ def bfs_levels(edges: rd.Dataset, *, seed_mod: int, iters: int = 3,
     from .dedup import _anti_filter_keys
     from .join import equi_join
 
-    und = edges.map_batches(
-        lambda b: pa.table({"a": pa.concat_arrays([
-            b["src"].combine_chunks() if isinstance(b["src"], pa.ChunkedArray)
-            else b["src"],
-            b["dst"].combine_chunks() if isinstance(b["dst"], pa.ChunkedArray)
-            else b["dst"]]),
-            "b": pa.concat_arrays([
-                b["dst"].combine_chunks()
-                if isinstance(b["dst"], pa.ChunkedArray) else b["dst"],
-                b["src"].combine_chunks()
-                if isinstance(b["src"], pa.ChunkedArray) else b["src"]])}),
-        batch_format="pyarrow").materialize()
+    def both_dirs(b: pa.Table) -> pa.Table:
+        src, dst = (c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                    else c for c in (b["src"], b["dst"]))
+        return pa.table({"a": pa.concat_arrays([src, dst]),
+                         "b": pa.concat_arrays([dst, src])})
+
+    # distinct undirected edges ONCE at build (matching the oracle's
+    # DISTINCT CTE): duplicate (src, dst) pairs would otherwise ride
+    # through every round's broadcast probe before the per-round
+    # distinct (review finding)
+    und = (edges.map_batches(both_dirs, batch_format="pyarrow")
+           .groupby(["a", "b"]).count()
+           .map_batches(lambda b: b.select(["a", "b"]),
+                        batch_format="pyarrow").materialize())
 
     def _distinct(ds: rd.Dataset, col: str) -> rd.Dataset:
         return (ds.groupby(col).count()

@@ -435,6 +435,70 @@ def moving_anomaly(ds: rd.Dataset, *, key: str, order_col: str,
             .drop_columns(["_pid"]))
 
 
+def running_peak(ds: rd.Dataset, *, key: str, order_col: str,
+                 tiebreak: str, val_col: str, peak_col: str = "peak",
+                 dd_col: str = "drawdown",
+                 n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """Running MAX over the unbounded trailing frame plus drawdown
+    (peak − current) per key — the cumulative-MAX window next to cumsum.
+    ``val_col`` should be integer (cents discipline) so both outputs are
+    hash-exact. Same one-shuffle sort-segment plan; the per-key cummax
+    is pandas' C groupby kernel."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.copy()
+            out[peak_col] = pd.Series([], dtype="int64")
+            out[dd_col] = pd.Series([], dtype="int64")
+            return out
+        g, _, _ = _segment_sorted(g, key, [order_col, tiebreak])
+        peak = g.groupby(key, sort=False)[val_col].cummax().to_numpy()
+        out = g.copy()
+        out[peak_col] = peak
+        out[dd_col] = peak - g[val_col].to_numpy()
+        return out
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(arrow_out(per_part), batch_format="pandas")
+            .drop_columns(["_pid"]))
+
+
+def adjacent_pair_counts(ds: rd.Dataset, *, key: str,
+                         order_cols: list[str], val_col: str,
+                         cur_col: str = "cur", nxt_col: str = "nxt",
+                         cnt_col: str = "pcnt",
+                         n_parts: int = DEFAULT_PARTITIONS) -> rd.Dataset:
+    """PARTIAL counts of adjacent (current, next) value pairs per key
+    under the (key, *order_cols) total order — the building block of
+    transition matrices (finish with ``groupby([cur, nxt]).sum``). Each
+    partition emits at most |distinct values|² count rows. Empty and
+    all-singleton partitions emit STRING-TYPED empty frames (a
+    null-typed empty block would diverge from the other partitions'
+    schemas in the downstream groupby — the r3 verdict #7 hazard
+    class)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({cur_col: pd.Series([], dtype="string"),
+                              nxt_col: pd.Series([], dtype="string"),
+                              cnt_col: pd.Series([], dtype="int64")})
+        if len(g) == 0:
+            return empty
+        g, first, _ = _segment_sorted(g, key, order_cols)
+        v = g[val_col].to_numpy()
+        same = ~first[1:]                    # next row is the same key
+        if not same.any():
+            return empty
+        pairs = pd.DataFrame({cur_col: v[:-1][same],
+                              nxt_col: v[1:][same]})
+        out = pairs.value_counts().rename(cnt_col).reset_index()
+        return out.astype({cur_col: "string", nxt_col: "string",
+                           cnt_col: "int64"})
+
+    return (_with_pid(ds, key, n_parts)
+            .groupby("_pid").map_groups(arrow_out(per_part),
+                                        batch_format="pandas"))
+
+
 def _key_sizes(first: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-row (count of rows in this row's key, 0-based row index within
     the key's last row) from the first-row-of-key mask."""

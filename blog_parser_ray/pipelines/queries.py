@@ -3356,7 +3356,7 @@ def validate_orders(sf_dir: str):
 
 def _pagerank_sql(iters: int = 3) -> str:
     sql = """
-WITH e AS (SELECT l_orderkey AS src, l_partkey + 1000000000 AS dst
+WITH e AS (SELECT l_orderkey AS src, -(l_partkey + 1) AS dst
            FROM lineitem),
 nodes AS (SELECT DISTINCT v FROM
           (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
@@ -3389,10 +3389,13 @@ def pagerank_parts(sf_dir: str):
     from ..functions.graph import pagerank_int
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # part nodes get NEGATIVE ids (-(partkey+1)): collision-free against
+    # positive orderkeys at ANY scale factor (a fixed additive shift
+    # collides once orderkeys pass it — review finding)
     edges = ds.map_batches(
         lambda b: pa.table({
             "src": b["l_orderkey"],
-            "dst": pc.add(b["l_partkey"], 1_000_000_000)}),
+            "dst": pc.negate(pc.add(b["l_partkey"], 1))}),
         batch_format="pyarrow")
     return pagerank_int(edges, iters=3)
 
@@ -4181,7 +4184,7 @@ def kmeans_clusters(sf_dir: str):
 
 @q("bfs_levels", """
 WITH e AS (SELECT DISTINCT l_orderkey AS a,
-                           l_partkey + 1000000000 AS b FROM lineitem),
+                           -(l_partkey + 1) AS b FROM lineitem),
 und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
 l0 AS (SELECT DISTINCT a AS node FROM e WHERE a % 100 = 0),
 l1 AS (SELECT DISTINCT und.b AS node FROM und JOIN l0 ON und.a = l0.node
@@ -4209,10 +4212,11 @@ def bfs_levels(sf_dir: str):
     from ..functions.graph import bfs_levels as _bfs
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # negative part-node ids — collision-free vs orderkeys at any SF
     edges = ds.map_batches(
         lambda b: pa.table({
             "src": b["l_orderkey"],
-            "dst": pc.add(b["l_partkey"], 1_000_000_000)}),
+            "dst": pc.negate(pc.add(b["l_partkey"], 1))}),
         batch_format="pyarrow")
     return _bfs(edges, seed_mod=100, iters=3)
 
@@ -4276,12 +4280,9 @@ def orders_drawdown(sf_dir: str):
     """Running peak + drawdown per customer (the cumulative-MAX window,
     completing the running-aggregate family next to cumsum): peak =
     MAX(cents) over the unbounded trailing frame, drawdown = peak −
-    current — all integer cents, hash-exact. Same one-shuffle
-    sort-segment plan; the per-key cummax is pandas' C groupby kernel."""
-    import pandas as pd
-
-    from ..functions.util import arrow_out
-    from ..functions.window import _segment_sorted, _with_pid
+    current — all integer cents, hash-exact (functions/window.py
+    running_peak)."""
+    from ..functions.window import running_peak
 
     orders = _read(sf_dir, "orders",
                    ["o_custkey", "o_orderkey", "o_orderdate",
@@ -4289,24 +4290,12 @@ def orders_drawdown(sf_dir: str):
     cents = orders.map_batches(
         lambda b: b.append_column("x", _cents(b["o_totalprice"])),
         batch_format="pyarrow")
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            out = g.copy()
-            out["peak"] = pd.Series([], dtype="int64")
-            out["drawdown"] = pd.Series([], dtype="int64")
-            return out[["o_custkey", "o_orderkey", "peak", "drawdown"]]
-        g, _, _ = _segment_sorted(g, "o_custkey",
-                                  ["o_orderdate", "o_orderkey"])
-        peak = g.groupby("o_custkey", sort=False)["x"].cummax()
-        out = g[["o_custkey", "o_orderkey"]].copy()
-        out["peak"] = peak.to_numpy()
-        out["drawdown"] = peak.to_numpy() - g["x"].to_numpy()
-        return out
-
-    return (_with_pid(cents, "o_custkey")
-            .groupby("_pid")
-            .map_groups(arrow_out(per_part), batch_format="pandas"))
+    out = running_peak(cents, key="o_custkey", order_col="o_orderdate",
+                       tiebreak="o_orderkey", val_col="x")
+    return out.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "peak",
+                            "drawdown"]),
+        batch_format="pyarrow")
 
 
 @q("event_transitions", """
@@ -4323,30 +4312,15 @@ def event_transitions(sf_dir: str):
     under the deterministic (ts, event_id) order. One hash-partition
     shuffle on user, a vectorized segment scan for adjacent pairs, then
     type-pair-sized partial counts into a tiny groupby — the event-
-    stream twin of token_bigrams."""
-    import pandas as pd
-
-    from ..functions.util import arrow_out
-    from ..functions.window import _segment_sorted, _with_pid
+    stream twin of token_bigrams (functions/window.py
+    adjacent_pair_counts, string-typed empty partials)."""
+    from ..functions.window import adjacent_pair_counts
 
     ev = _read(sf_dir, "events", ["user_id", "event_type", "ts",
                                   "event_id"])
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"cur": g["event_type"],
-                                 "nxt": g["event_type"],
-                                 "pcnt": pd.Series([], dtype="int64")})
-        g, first, _ = _segment_sorted(g, "user_id", ["ts", "event_id"])
-        t = g["event_type"].to_numpy()
-        same = ~first[1:]                      # next row is the same user
-        pairs = pd.DataFrame({"cur": t[:-1][same], "nxt": t[1:][same]})
-        out = (pairs.value_counts().rename("pcnt").reset_index())
-        return out
-
-    partials = (_with_pid(ev, "user_id")
-                .groupby("_pid")
-                .map_groups(arrow_out(per_part), batch_format="pandas"))
+    partials = adjacent_pair_counts(ev, key="user_id",
+                                    order_cols=["ts", "event_id"],
+                                    val_col="event_type")
     return (partials.groupby(["cur", "nxt"]).sum("pcnt")
             .map_batches(
                 lambda b: pa.table({"cur": b["cur"], "nxt": b["nxt"],
@@ -4393,7 +4367,10 @@ def weekly_revenue_growth(sf_dir: str):
     order = np.argsort(w, kind="mergesort")
     w = w[order]
     rev = t["sum(cents)"].to_numpy()[order].astype(np.int64)
-    prev = np.concatenate([[-1], rev[:-1]])
+    # empty input: [-1] prepended to a 0-length rev would make prev
+    # length 1 and pa.table raise on mismatched column lengths
+    prev = (np.concatenate([[-1], rev[:-1]]) if len(rev)
+            else np.array([], dtype=np.int64))
     return pa.table({
         "week": pa.array((w * 7 + 4) * _US_PER_DAY).cast(pa.timestamp("us")),
         "rev": pa.array(rev),
