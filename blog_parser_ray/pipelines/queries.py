@@ -4560,7 +4560,24 @@ _DRIVER_PRIORITY = [
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at
-    #    sf0.1))
+    #    sf0.1)).
+    # ROUND-5 ROTATION PROPOSAL (keeps the no-2-rounds-unverified
+    #    invariant with 141 entries / 50 driver rows): fill the r5
+    #    window with (a) the ~45 never-driver-verified names above —
+    #    prioritize the operator-family heads whose driver row would
+    #    certify the shared kernel (jaccard_pairs_exact,
+    #    fuzzy_pairs_brand, kmeans_clusters, merge_upsert, table_diff,
+    #    bfs_levels, pagerank_parts, funnel_3step, wau_sliding,
+    #    cohort_retention, orders_cume_dist, orders_price_anomaly,
+    #    orders_drawdown, event_transitions, weekly_revenue_growth,
+    #    order_next_order, inverted_index, profile_orders,
+    #    tokens_explode, token_bigrams, bigram_familiarity,
+    #    centroids_by_label, dedup_incremental_*, dup_span_pairs,
+    #    chunk_docs, validate_orders, heavy_words, price_zscore_by_flag,
+    #    price_clip_outliers, docs_by_source_skewsafe, ...), then (b)
+    #    any entry whose implementation changes in round 5; the
+    #    round-4-green entries below can yield their slots (local gate
+    #    still covers them every round).
     "orders_moving_avg", "orders_ntile", "orders_edge_values",
     "orders_value_rank", "events_lead_delta", "orders_range_30d",
     "top3_orders_per_cust", "cust_best_order", "grouping_sets_counts",
