@@ -4298,6 +4298,45 @@ def orders_drawdown(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("null_safe_join_events", """
+WITH dim(k, code) AS (VALUES ('click', 1), ('view', 2), ('signup', 3),
+                             ('purchase', 4), (CAST(NULL AS VARCHAR), 99))
+SELECT e.event_id, CAST(d.code AS BIGINT) AS code
+FROM events e JOIN dim d
+  ON NULLIF(e.event_type, 'error') IS NOT DISTINCT FROM d.k
+""")
+def null_safe_join_events(sf_dir: str):
+    """NULL-SAFE equi-join (SQL ``IS NOT DISTINCT FROM`` — null matches
+    null), the semantic variant every repo join deliberately REFUSES
+    (SQL ``=`` never matches null⋈null): here 'error' events are
+    NULLIF'd to null and must land on the dim's null row. Implemented by
+    fusing null to a reserved sentinel on BOTH sides (collision-free:
+    the sentinel starts with a NUL byte no real value contains), after
+    which the ordinary plan-selected equi_join applies — null-safe
+    semantics cost one fill_null per side, no new join machinery."""
+    import ray as _ray
+
+    from ..functions.join import equi_join
+
+    _SENT = "\x00<null>"
+    ev = _read(sf_dir, "events", ["event_id", "event_type"]).map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"],
+            "k": pc.fill_null(
+                pc.if_else(pc.equal(b["event_type"], "error"),
+                           pa.scalar(None, pa.string()),
+                           b["event_type"]), _SENT)}),
+        batch_format="pyarrow")
+    dim = rd.from_arrow(pa.table({
+        "dk": pa.array(["click", "view", "signup", "purchase", _SENT],
+                       type=pa.string()),
+        "code": pa.array([1, 2, 3, 4, 99], type=pa.int64())}))
+    j = equi_join(ev, dim, left_on="k", right_on="dk")
+    return j.map_batches(
+        lambda b: pa.table({"event_id": b["event_id"], "code": b["code"]}),
+        batch_format="pyarrow")
+
+
 @q("event_transitions", """
 WITH l AS (SELECT user_id, event_type AS cur,
                   lead(event_type) OVER (PARTITION BY user_id
@@ -4555,8 +4594,8 @@ _DRIVER_PRIORITY = [
     #    merge_upsert, llm_curate_exact, kmeans_clusters,
     #    inverted_index, profile_orders, order_next_order,
     #    table_diff, bfs_levels, orders_price_anomaly,
-    #    event_transitions, weekly_revenue_growth, orders_drawdown)
-    #    defer to round 5:
+    #    event_transitions, weekly_revenue_growth, orders_drawdown,
+    #    null_safe_join_events) defer to round 5:
     #    each shares kernels/paths with driver-green family members or
     #    has an exact pytest ground-truth oracle, and ALL pass the
     #    identical local sf0.01 hash gate (full registry also green at

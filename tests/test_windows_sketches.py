@@ -608,7 +608,8 @@ def test_extended_session_ops_partition_invariant():
              "jaccard_pairs_exact", "merge_upsert", "kmeans_clusters",
              "inverted_index", "profile_orders", "order_next_order",
              "table_diff", "bfs_levels", "orders_price_anomaly",
-             "event_transitions", "weekly_revenue_growth", "orders_drawdown"]
+             "event_transitions", "weekly_revenue_growth", "orders_drawdown",
+             "null_safe_join_events"]
 
     def norm(obj):
         df = obj.to_pandas() if not isinstance(obj, pd.DataFrame) else obj
