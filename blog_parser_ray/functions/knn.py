@@ -112,6 +112,88 @@ def brute_force_topk_multi(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
     })
 
 
+def quantize_embedding(M: np.ndarray, scale: int = 1024) -> np.ndarray:
+    """floor(x * scale) as int64 — BIT-EXACT across engines when ``scale``
+    is a power of two: float32→float64 is exact, multiplying by 2^n only
+    shifts the exponent, and floor of an exact double is exact. This is
+    what makes an integer-distance top-k hash-comparable with a DuckDB
+    oracle (the float-equality discipline applied to similarity search)."""
+    return np.floor(np.asarray(M, dtype=np.float64) * float(scale)) \
+        .astype(np.int64)
+
+
+def brute_force_topk_multi_l2int(ds: rd.Dataset, queries_int: np.ndarray,
+                                 query_ids: np.ndarray, k: int = 10,
+                                 col: str = "embedding",
+                                 id_col: str = "vec_id",
+                                 scale: int = 1024) -> pa.Table:
+    """EXACT batched top-k by integer squared-L2 distance over
+    ``quantize_embedding``-quantized vectors — the oracled twin of
+    ``brute_force_topk_multi`` (which ranks by float cosine and is not
+    bit-stable vs SQL).
+
+    Same distributed shape: the (q × dim) int64 query matrix broadcasts
+    once via ray.put; each batch computes all q distances with ONE int64
+    matmul + two squared-norm vectors (|a|² − 2a·q + |q|², every term
+    exact: |values| ≤ dim·(scale+|x|max·scale)² ≪ 2⁶³ for unit-range
+    embeddings) and emits its per-query LOCAL top-k — the driver merge
+    sees O(k × blocks × q) rows, never the corpus. Ties break by id
+    ascending, so the result is invariant to block layout. Returns
+    (query_id, rnk 1-based, id_col, dist), all int64.
+    """
+    Q = np.ascontiguousarray(queries_int, dtype=np.int64)
+    qn = (Q * Q).sum(axis=1)
+    q_ref = ray.put(Q)
+    qid_arr = np.asarray(query_ids, dtype=np.int64)
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        A = quantize_embedding(_embedding_matrix(batch, col), scale)
+        if A.shape[0] == 0:
+            return empty
+        an = (A * A).sum(axis=1)
+        dists = an[:, None] - 2 * (A @ Qm.T) + (Qm * Qm).sum(axis=1)[None, :]
+        ids = batch[id_col].to_numpy()
+        qcols, rows = [], []
+        for qi in range(dists.shape[1]):
+            # ascending distance: reuse the deterministic tiebreak kernel
+            # on the negated column (smaller dist == larger -dist)
+            top = _topk_rows(-dists[:, qi].astype(np.float64), ids, k)
+            qcols.append(np.full(len(top), qi, dtype=np.int64))
+            rows.append(top)
+        qcol = np.concatenate(qcols)
+        row = np.concatenate(rows)
+        return pa.table({"query_id": pa.array(qcol),
+                         id_col: pa.array(ids[row]),
+                         "dist": pa.array(dists[row, qcol])})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    qv = cand["query_id"].to_numpy()
+    iv = cand[id_col].to_numpy()
+    dv = cand["dist"].to_numpy()
+    order = np.lexsort((iv, dv, qv))
+    qs, is_, ds_ = qv[order], iv[order], dv[order]
+    new_q = np.r_[True, qs[1:] != qs[:-1]]
+    rank = np.arange(len(qs)) - np.maximum.accumulate(
+        np.where(new_q, np.arange(len(qs)), 0))
+    keep = rank < k
+    return pa.table({
+        "query_id": pa.array(qid_arr[qs[keep]], type=pa.int64()),
+        "rnk": pa.array(rank[keep] + 1, type=pa.int64()),
+        id_col: pa.array(is_[keep], type=pa.int64()),
+        "dist": pa.array(ds_[keep], type=pa.int64()),
+    })
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures for bucketed ANN (actor-pool stage)."""
 

@@ -56,6 +56,45 @@ def _seq_ds(sf_dir: str) -> rd.Dataset:
             .map_batches(tokenize_documents, batch_format="pyarrow"))
 
 
+_PLANT_OFF = 10_000_000  # planted-dup id offset; natural ids are tiny ints
+_PLANT_STRIDE = 17       # every 17th base row gets a planted duplicate
+
+
+def _plant_dups(ds: rd.Dataset, id_col: str, cols: list[str],
+                perturb_suffix: str | None = None) -> rd.Dataset:
+    """Append a deterministic planted duplicate of every
+    ``id_col % _PLANT_STRIDE == 0`` row, with id ``+ _PLANT_OFF``
+    (collision-free: testdata ids are dense small ints, so no natural
+    pair differs by exactly the offset) and optionally one appended word
+    — a high-similarity NEAR duplicate instead of an exact copy. The
+    planted set is SQL-derivable (``WHERE id % 17 = 0``), which is what
+    turns the probabilistic dedup family into hash-exact oracles: the
+    pipeline runs unchanged over the full corpus, and the REPORT is
+    restricted to the planted subset whose expected outcome SQL can
+    state (planted-ground-truth pattern, r4 VERDICT #2). Pure map — the
+    planted rows are generated inside the same batch that read the
+    original, no shuffle, no driver materialization."""
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        t = b.filter(pa.array(ids % _PLANT_STRIDE == 0))
+        arrays = {}
+        for c in cols:
+            if c == id_col:
+                arrays[c] = pc.add(t[c], _PLANT_OFF)
+            elif perturb_suffix is not None and c == "text":
+                arrays[c] = pc.binary_join_element_wise(
+                    t[c], perturb_suffix, " ")
+            else:
+                arrays[c] = t[c]
+        return pa.table(arrays)
+
+    base = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+    dups = ds.map_batches(plant, batch_format="pyarrow")
+    # both sides carry the identical column list/order (union aligns blocks
+    # positionally — see ray-data union gotcha)
+    return base.union(dups)
+
+
 def _collect_table(ds: rd.Dataset, empty: pa.Table) -> pa.Table:
     """Collect a SMALL result Dataset into one Arrow table, preserving the
     declared schema when the result is empty (an empty Ray Dataset's
@@ -732,17 +771,52 @@ def dedup_minhash(sf_dir: str):
     return minhash_dedup_pairs(ds, threshold=0.5)
 
 
-@q("dedup_near_apply")  # rows-only: LSH pipeline, no SQL equivalent
+@q("dedup_near_apply", f"""
+SELECT doc_id + {_PLANT_OFF} AS dup_id, CAST(1 AS BIGINT) AS removed
+FROM documents WHERE doc_id % {_PLANT_STRIDE} = 0
+""")
 def dedup_near_apply(sf_dir: str):
     """Near-dedup APPLIED end-to-end: MinHash+LSH pairs → union-find
-    connected components → corpus with only the min-doc_id survivor of each
-    component (functions/dedup.py apply_pair_dedup). The verified pairs
-    flow as a DATASET into apply_pair_dedup's plan-selected path (r3
-    verdict #1) — no driver-side pair gather in the chain."""
+    connected components → corpus with only the min-doc_id survivor of
+    each component (functions/dedup.py apply_pair_dedup); the verified
+    pairs flow as a DATASET into apply_pair_dedup's plan-selected path.
+
+    Oracled via the planted-ground-truth pattern (r4 VERDICT #2): every
+    17th doc gets a near-identical copy planted (_plant_dups: one word
+    appended, word-shingle Jaccard ≥ (n-2)/(n-1) ≈ 0.89 at the corpus's
+    10-word floor, far above the 0.5 verify threshold). Each planted copy
+    is connected to its original, whose id is always smaller, so the
+    min-id winner rule REMOVES every planted copy regardless of what the
+    natural near-dups do — an exact SQL-expressible invariant. Recall of
+    the planted pairs through 16 4-row LSH bands is deterministic per
+    input (seeded perms; miss probability ~(1-0.89⁴)¹⁶ ≈ 1e-7 per pair)
+    and verified green at sf0.001/0.01/0.1. The full dedup still runs
+    over the whole corpus — only the report is the planted subset."""
     from ..functions.dedup import apply_pair_dedup, minhash_dedup_pairs_ds
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    pairs_ds = minhash_dedup_pairs_ds(ds, threshold=0.5)
-    return apply_pair_dedup(ds, pairs_ds, key_col="doc_id")
+    corpus = _plant_dups(ds, "doc_id", ["doc_id", "source", "text"],
+                         perturb_suffix="planteddup")
+    pairs_ds = minhash_dedup_pairs_ds(corpus, threshold=0.5)
+    surv = apply_pair_dedup(corpus, pairs_ds, key_col="doc_id")
+    # surviving PLANTED ids (expected: none) — bounded by the planted
+    # count, and collected only to broadcast back into the report map
+    leaked = _collect_table(
+        surv.map_batches(
+            lambda b: b.filter(pc.greater_equal(
+                b["doc_id"], _PLANT_OFF)).select(["doc_id"]),
+            batch_format="pyarrow"),
+        pa.table({"doc_id": pa.array([], pa.int64())}))
+    leaked_ids = np.sort(leaked["doc_id"].to_numpy())
+
+    def report(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        planted = ids[ids % _PLANT_STRIDE == 0] + _PLANT_OFF
+        removed = (~np.isin(planted, leaked_ids)).astype(np.int64)
+        return pa.table({"dup_id": pa.array(planted),
+                         "removed": pa.array(removed)})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        report, batch_format="pyarrow")
 
 
 @q("media_features")  # rows-only: fake-decode features, no SQL equivalent
@@ -792,34 +866,91 @@ def media_features(sf_dir: str):
                        Sum("p_ok", alias_name="decoded_ok")))
 
 
-@q("knn_multi")  # rows-only: float cosine not bit-stable vs SQL
+@q("knn_multi", """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 4),
+c AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS cv
+  FROM embeddings),
+d AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+             p -> (p[1] - p[2]) * (p[1] - p[2])))
+           AS BIGINT) AS dist
+  FROM q CROSS JOIN c),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, vec_id) AS rn
+  FROM d)
+SELECT query_id, CAST(rn AS BIGINT) AS rnk, vec_id, dist
+FROM r WHERE rn <= 10
+""")
 def knn_multi(sf_dir: str):
-    """Batched similarity search: top-10 for 4 query vectors in ONE corpus
-    pass (functions/knn.py brute_force_topk_multi)."""
+    """Batched similarity search, EXACT + oracled: top-10 for 4 query
+    vectors in ONE corpus pass by integer squared-L2 distance over
+    floor(x·1024)-quantized embeddings (functions/knn.py
+    brute_force_topk_multi_l2int). Power-of-two quantization is bit-exact
+    in both engines, so the ranking — tiebreak included — hash-matches
+    the SQL oracle; the float-cosine ranking twin (brute_force_topk_multi)
+    stays the knn_cosine surface with its recall pytest."""
     import pyarrow.parquet as pq
-    from ..functions.knn import brute_force_topk_multi
+    from ..functions.knn import brute_force_topk_multi_l2int, \
+        quantize_embedding
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"],
                         filters=[("vec_id", "in", [0, 1, 2, 3])])
     order = np.argsort(emb["vec_id"].to_numpy())
-    Q = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)[order]
+    Q = quantize_embedding(
+        np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)[order])
+    qids = emb["vec_id"].to_numpy()[order]
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return brute_force_topk_multi(ds, Q, k=10)
+    return brute_force_topk_multi_l2int(ds, Q, qids, k=10)
 
 
-@q("dedup_simhash")  # rows-only
+@q("dedup_simhash", f"""
+SELECT doc_id AS a, doc_id + {_PLANT_OFF} AS b, CAST(0 AS INTEGER) AS hamming
+FROM documents WHERE doc_id % {_PLANT_STRIDE} = 0
+""")
 def dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (banded Hamming-≤3 blocking + exact verify),
+    oracled via planted EXACT copies: identical text ⇒ identical 64-bit
+    simhash ⇒ the pair shares every band bucket and verifies at Hamming 0
+    — a DETERMINISTIC recall guarantee, no probability argument needed.
+    The full pair machinery (band explode, bucket groupby, vectorized
+    popcount verify, pair dedup) runs over the whole planted corpus; the
+    report keeps the SQL-derivable planted pairs (b - a = offset)."""
     from ..functions.dedup import simhash_near_dup_pairs
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_near_dup_pairs(ds, max_hamming=3)
+    corpus = _plant_dups(ds, "doc_id", ["doc_id", "text"])
+    out = simhash_near_dup_pairs(corpus, max_hamming=3)
+    return out.filter(pc.equal(pc.subtract(out["b"], out["a"]), _PLANT_OFF))
 
 
-@q("dedup_embed")  # rows-only
+@q("dedup_embed", f"""
+SELECT vec_id AS a, vec_id + {_PLANT_OFF} AS b
+FROM embeddings WHERE vec_id % {_PLANT_STRIDE} = 0
+""")
 def dedup_embed(sf_dir: str):
+    """Embedding near-dup pairs (hyperplane-LSH buckets + exact cosine
+    verify), oracled via planted IDENTICAL vectors: an identical vector
+    has an identical hyperplane signature in every band (same bucket,
+    deterministic) and verifies at cosine 1 ≥ threshold — recall of the
+    planted pairs is guaranteed, not probabilistic. The report keeps the
+    SQL-derivable planted pairs; cosine is dropped from the output (the
+    float is ~1.0 up to normalization rounding, not hash-comparable)."""
     from ..functions.dedup import embedding_near_dup_pairs
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup_pairs(ds, threshold=0.5)
+    corpus = _plant_dups(ds, "vec_id", ["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(corpus, threshold=0.5)
+    planted = out.filter(
+        pc.equal(pc.subtract(out["b"], out["a"]), _PLANT_OFF))
+    return planted.select(["a", "b"])
 
 
 @q("knn_cosine")  # rows-only: float32 cosine reproducibility vs DuckDB is
@@ -975,15 +1106,38 @@ def latest_order(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
-@q("approx_users")  # rows-only: sketch estimate, no SQL equivalent
+@q("approx_users", """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS hll_ok
+FROM events
+""")
 def approx_users(sf_dir: str):
-    """A5 HLL approximate count-distinct of events.user_id (accuracy vs the
-    exact count asserted in tests)."""
+    """A5 HLL approximate count-distinct of events.user_id, oracled with
+    the exactness-bound pattern (approx_users_by_type precedent): the
+    sketch estimate is asserted within 4σ (σ = 1.04/√2¹²  ⇒  ±6.5%) of
+    the exact distinct, itself computed distributed
+    (stages/agg.distinct_count_by on a constant key — one pair-hash
+    shuffle of unique user ids, never the input). A sketch regression
+    flips hll_ok and fails the driver's hash gate."""
     from ..functions.sketch import approx_distinct
+    from ..stages.agg import distinct_count_by
 
     ds = _read(sf_dir, "events", ["user_id"])
     est = approx_distinct(ds, "user_id", p=12)
-    return pa.table({"approx_distinct_users": pa.array([round(est, 1)])})
+    exact_ds = distinct_count_by(
+        ds.map_batches(
+            lambda b: b.append_column("_k", pa.array(
+                np.zeros(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["_k"], "user_id", alias="n_exact")
+    exact_t = _collect_table(exact_ds, pa.table(
+        {"_k": pa.array([], pa.int64()),
+         "n_exact": pa.array([], pa.int64())}))
+    n_exact = int(exact_t["n_exact"][0].as_py()) if exact_t.num_rows else 0
+    sigma = 1.04 / np.sqrt(4096)
+    ok = int(abs(est - n_exact) <= 4 * sigma * max(n_exact, 1))
+    return pa.table({"n_exact": pa.array([n_exact], pa.int64()),
+                     "hll_ok": pa.array([ok], pa.int64())})
 
 
 def _subtotal_planes(base, cols: list[str], planes: list[list[str]]):
@@ -1288,14 +1442,56 @@ def token_count_bpe(sf_dir: str):
         fn, batch_format="pyarrow")
 
 
-@q("pack_sequences")  # rows-only: packing has no SQL equivalent
+@q("pack_sequences", """
+SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 3)
+         AS BIGINT) AS total_tokens,
+       CAST(1 AS BIGINT) AS caps_ok,
+       CAST(1 AS BIGINT) AS bins_ok
+FROM documents
+""")
 def pack_sequences_q(sf_dir: str):
     """Sequence packing: whole bridge sequences combined into ≤512-token
-    training examples (functions/packing.py; conservation tested)."""
+    training examples (functions/packing.py), oracled with a CONSERVATION
+    summary (r4 VERDICT #2): every input sequence lands in exactly one
+    bin (n_seqs), no token is lost or invented (total_tokens — the SQL
+    side recomputes it as words+BOS+EOS per doc, the tokenize_documents
+    contract), no bin exceeds the cap (caps_ok), and the bin count is
+    sane (bins_ok: ≤ n_seqs and ≥ the capacity lower bound). A packing
+    bug — dropped row, split sequence, overflowing bin — flips one of
+    the exact values or flags and fails the hash gate. The packed bins
+    themselves remain the op's output everywhere else (curate chain,
+    pytest conservation tests); only this report is the summary."""
     from ..functions.packing import pack_sequences
 
-    return (pack_sequences(_seq_ds(sf_dir), max_len=512)
-            .drop_columns(["tokens", "doc_ids"]))
+    packed = pack_sequences(_seq_ds(sf_dir), max_len=512)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n_tok = b["n_tok"].to_numpy().astype(np.int64)
+        n_seqs = b["n_seqs"].to_numpy().astype(np.int64)
+        return pa.table({
+            "p_seqs": pa.array([int(n_seqs.sum())], pa.int64()),
+            "p_tok": pa.array([int(n_tok.sum())], pa.int64()),
+            "p_bins": pa.array([b.num_rows], pa.int64()),
+            "p_max": pa.array([int(n_tok.max()) if len(n_tok) else 0],
+                              pa.int64())})
+
+    parts = _collect_table(
+        packed.map_batches(partial, batch_format="pyarrow"),
+        pa.table({"p_seqs": pa.array([], pa.int64()),
+                  "p_tok": pa.array([], pa.int64()),
+                  "p_bins": pa.array([], pa.int64()),
+                  "p_max": pa.array([], pa.int64())}))
+    n_seqs = int(pc.sum(parts["p_seqs"]).as_py() or 0)
+    total = int(pc.sum(parts["p_tok"]).as_py() or 0)
+    bins = int(pc.sum(parts["p_bins"]).as_py() or 0)
+    mx = int(pc.max(parts["p_max"]).as_py() or 0)
+    caps_ok = int(mx <= 512)
+    bins_ok = int(bins <= n_seqs and bins * 512 >= total)
+    return pa.table({"n_seqs": pa.array([n_seqs], pa.int64()),
+                     "total_tokens": pa.array([total], pa.int64()),
+                     "caps_ok": pa.array([caps_ok], pa.int64()),
+                     "bins_ok": pa.array([bins_ok], pa.int64())})
 
 
 @q("train_split")  # rows-only: siphash-based split not SQL-reproducible
@@ -1611,11 +1807,15 @@ def mixture_sample_q(sf_dir: str):
     return mixture_sample(ds, weights)
 
 
-@q("shuffle_corpus")  # rows-only: seeded permutation, no SQL equivalent
+@q("shuffle_corpus", "SELECT doc_id, source FROM documents")
 def shuffle_corpus(sf_dir: str):
     """Seeded global shuffle (training-data ordering): Ray's distributed
-    random_shuffle with a fixed seed — deterministic permutation, tested in
-    pytest; the all-to-all is the op's cost by definition."""
+    random_shuffle with a fixed seed — deterministic permutation, tested
+    in pytest; the all-to-all is the op's cost by definition. Oracled as
+    multiset equality: the driver's hash compare is row-order-insensitive,
+    so `SELECT doc_id, source FROM documents` asserts exactly the
+    permutation property — every input row appears exactly once, none
+    duplicated, none lost, nothing mutated."""
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
     return ds.random_shuffle(seed=1234)
 
@@ -4575,75 +4775,37 @@ def fuzzy_pairs_brand(sf_dir: str):
 
 
 _DRIVER_PRIORITY = [
-    # round-4 rotation (r3 verdict #8 invariant: nothing goes 2 rounds
-    # unverified; every new/changed implementation is in the next 50).
-    # -- never driver-verified (new in round 4; the window holds 21 of
-    #    the round's new entries — the rest (tumbling_15min,
-    #    union_distinct_keys, region_nation_cross, case_funcs,
-    #    cust_orders_left, heavy_words, daily_gapfill,
-    #    qty_quantiles_cont, weighted_sample_docs, last_lineitem,
-    #    daily_active_users, new_users_daily, retention_next_day,
-    #    docs_by_source_skewsafe, dedup_incremental_docs,
-    #    dedup_incremental_near, dedup_incremental_embed,
-    #    dup_span_pairs, chunk_docs, validate_orders,
-    #    price_zscore_by_flag, price_clip_outliers, pagerank_parts,
-    #    triangle_count, and the round-4-tail additions funnel_3step,
-    #    wau_sliding, orders_cume_dist, cohort_retention,
-    #    fuzzy_pairs_brand, tokens_explode, token_bigrams,
-    #    centroids_by_label, bigram_familiarity, jaccard_pairs_exact,
-    #    merge_upsert, llm_curate_exact, kmeans_clusters,
-    #    inverted_index, profile_orders, order_next_order,
-    #    table_diff, bfs_levels, orders_price_anomaly,
-    #    event_transitions, weekly_revenue_growth, orders_drawdown,
-    #    null_safe_join_events) defer to round 5:
-    #    each shares kernels/paths with driver-green family members or
-    #    has an exact pytest ground-truth oracle, and ALL pass the
-    #    identical local sf0.01 hash gate (full registry also green at
-    #    sf0.1)).
-    # ROUND-5 ROTATION PROPOSAL (keeps the no-2-rounds-unverified
-    #    invariant with 141 entries / 50 driver rows): fill the r5
-    #    window with (a) the ~45 never-driver-verified names above —
-    #    prioritize the operator-family heads whose driver row would
-    #    certify the shared kernel (jaccard_pairs_exact,
-    #    fuzzy_pairs_brand, kmeans_clusters, merge_upsert, table_diff,
-    #    bfs_levels, pagerank_parts, funnel_3step, wau_sliding,
-    #    cohort_retention, orders_cume_dist, orders_price_anomaly,
-    #    orders_drawdown, event_transitions, weekly_revenue_growth,
-    #    order_next_order, inverted_index, profile_orders,
-    #    tokens_explode, token_bigrams, bigram_familiarity,
-    #    centroids_by_label, dedup_incremental_*, dup_span_pairs,
-    #    chunk_docs, validate_orders, heavy_words, price_zscore_by_flag,
-    #    price_clip_outliers, docs_by_source_skewsafe, ...), then (b)
-    #    any entry whose implementation changes in round 5; the
-    #    round-4-green entries below can yield their slots (local gate
-    #    still covers them every round).
-    "orders_moving_avg", "orders_ntile", "orders_edge_values",
-    "orders_value_rank", "events_lead_delta", "orders_range_30d",
-    "top3_orders_per_cust", "cust_best_order", "grouping_sets_counts",
-    "qty_median_mode_by_flag",
-    "grouped_regr", "flag_bool_aggs", "bitxor_orders", "tfidf_terms",
-    "repetition_ratio", "redact_terms", "contamination_check",
-    "region_nation_outer", "approx_users_by_type", "unpivot_lineitem",
-    "priority_spend_share",
-    # -- last green driver row in ROUND 1 (2 rounds stale -- mandatory)
-    "sliding_3h", "knn_ivf", "pivot_events",
-    # -- last green driver row in ROUND 2 (would go 2 rounds stale if
-    #    omitted -- mandatory)
-    "filter_events", "project", "normalize_docs", "semi_orders",
-    "anti_orders", "global_agg", "distinct_sources", "topk_sources",
-    "sample", "union_all", "intersect_keys", "except_keys", "str_funcs",
-    "date_funcs", "math_funcs", "arr_funcs", "json_funcs", "token_count",
-    "fingerprint", "decode_preview", "orders_by_nation",
-    # -- implementation changed in round 4: quantile-sketch oracle,
-    #    Arrow-native as-of, pairs-as-Dataset curate chain, arrow_out
-    #    group outputs, metadata-free reads (flagship core). The other
-    #    r3-green changed-impl entries (event_last_order, dedup_minhash,
-    #    dedup_docs, dedup_components, orders_customers, orders_concat,
-    #    session_counts, latest_order, ...) yield their slots to the new
-    #    queries above; the sf0.01 DuckDB hash gate covers them this
-    #    round and they rotate back in round 5.
-    "value_quantiles_approx", "asof_orders",
-    "dedup_near_apply", "llm_curate", "per_sink_counts",
+    # ROUND-5 rotation (r4 verdict #1: burn the driver-verification
+    # backlog to zero). Slots 1-47 are EVERY entry that has never had
+    # a driver CORRECTNESS row in rounds 1-4 (union of
+    # CORRECTNESS_r0{1..4}.json vs the registry, computed, not
+    # hand-listed); slots 48-50 are this round's changed
+    # implementations (dedup_near_apply: planted-corpus flow;
+    # knn_multi: new integer-L2 exact kernel; pack_sequences: new
+    # conservation-report output). The other 4 newly-oracled entries
+    # (dedup_simhash, dedup_embed, approx_users, shuffle_corpus)
+    # share the same plant/collect machinery verified by these three
+    # and are green on the identical local DuckDB gate at
+    # sf0.001/0.01/0.1; all previously-green entries remain covered
+    # by the per-round local full-registry gate.
+    # -- never driver-verified (r1-r4):
+    "llm_curate_exact", "case_funcs", "union_distinct_keys",
+    "region_nation_cross", "tumbling_15min", "cust_orders_left",
+    "heavy_words", "daily_gapfill", "qty_quantiles_cont",
+    "weighted_sample_docs", "last_lineitem", "daily_active_users",
+    "new_users_daily", "retention_next_day", "docs_by_source_skewsafe",
+    "dedup_incremental_docs", "dedup_incremental_near",
+    "price_zscore_by_flag", "price_clip_outliers", "dup_span_pairs",
+    "dedup_incremental_embed", "chunk_docs", "validate_orders",
+    "pagerank_parts", "triangle_count", "funnel_3step", "orders_cume_dist",
+    "wau_sliding", "tokens_explode", "token_bigrams", "bigram_familiarity",
+    "centroids_by_label", "jaccard_pairs_exact", "merge_upsert",
+    "inverted_index", "order_next_order", "profile_orders", "kmeans_clusters",
+    "bfs_levels", "orders_price_anomaly", "orders_drawdown",
+    "null_safe_join_events", "event_transitions", "weekly_revenue_growth",
+    "table_diff", "cohort_retention", "fuzzy_pairs_brand",
+    # -- implementation/oracle changed in round 5:
+    "dedup_near_apply", "knn_multi", "pack_sequences",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 assert len(set(_DRIVER_PRIORITY)) == 50
