@@ -144,19 +144,55 @@ class FrameSampler:
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, idxs = [], [], []
-        for mid, payload, mt in zip(batch["media_id"].to_pylist(),
-                                    batch["payload"].to_pylist(),
-                                    batch["media_type"].to_pylist()):
-            if mt != "video":
-                continue
-            step = max(1, len(payload) // self.n_frames)
-            for fi in range(self.n_frames):
-                ids.append(mid)
-                idxs.append(fi)
-                frames.append(payload[fi * step:(fi + 1) * step])
+        import pyarrow.compute as pc
+
+        empty = pa.table({
+            "media_id": pa.array([], type=pa.int64()),
+            "frame_no": pa.array([], type=pa.int32()),
+            "frame": pa.array([], type=pa.binary()),
+        })
+        vids = batch.filter(pc.equal(batch["media_type"], "video"))
+        nv = vids.num_rows
+        if nv == 0:
+            return empty
+        pay = vids["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        # same zero-copy discipline as Decoder.__call__: payload bytes are
+        # read as offset/data buffer views, never materialized as Python
+        # bytes objects; the only copy is the single vectorized gather that
+        # assembles the (non-contiguous) frame slices into the new column
+        off_dtype = (np.int64 if pa.types.is_large_binary(pay.type)
+                     else np.int32)
+        off0 = pay.offset
+        offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype,
+                                count=nv + 1 + off0)[off0:].astype(np.int64)
+        data = (np.frombuffer(pay.buffers()[2], dtype=np.uint8,
+                              count=int(offsets[-1]))
+                if pay.buffers()[2] is not None
+                else np.empty(0, dtype=np.uint8))
+        lens = offsets[1:] - offsets[:-1]
+        k = self.n_frames
+        step = np.maximum(1, lens // k)                       # (nv,)
+        fi = np.arange(k, dtype=np.int64)                     # (k,)
+        starts = np.minimum(offsets[:-1, None] + fi * step[:, None],
+                            offsets[1:, None])                # row-clamped
+        ends = np.minimum(offsets[:-1, None] + (fi + 1) * step[:, None],
+                          offsets[1:, None])
+        s, e = starts.ravel(), ends.ravel()
+        flens = e - s
+        cum = np.concatenate(([0], np.cumsum(flens)))
+        total = int(cum[-1])
+        gather = (np.arange(total, dtype=np.int64)
+                  + np.repeat(s - cum[:-1], flens))
+        frame_arr = pa.Array.from_buffers(
+            pa.binary(), nv * k,
+            [None, pa.py_buffer(cum.astype(np.int32)),
+             pa.py_buffer(data[gather])])
         return pa.table({
-            "media_id": pa.array(ids, type=pa.int64()),
-            "frame_no": pa.array(idxs, type=pa.int32()),
-            "frame": pa.array(frames, type=pa.binary()),
+            "media_id": pa.array(
+                np.repeat(vids["media_id"].to_numpy(), k), type=pa.int64()),
+            "frame_no": pa.array(np.tile(fi, nv).astype(np.int32),
+                                 type=pa.int32()),
+            "frame": frame_arr,
         })

@@ -546,6 +546,45 @@ def test_decoder_zero_copy_and_sliced_batches():
     assert out.num_rows == 0 and "features" in out.column_names
 
 
+def test_frame_sampler_zero_copy_and_sliced_batches():
+    """FrameSampler must slice frames out of the payload offset/data buffer
+    views (no to_pylist copy) and stay correct on sliced (non-zero-offset)
+    Arrow batches; frames must equal the plain-Python slicing reference."""
+    t = multimodal.synth_media_table(18, seed=5)
+    fs = multimodal.FrameSampler(n_frames=4, fake=True)
+
+    def reference(tbl):
+        rows = []
+        for mid, payload, mt in zip(tbl["media_id"].to_pylist(),
+                                    tbl["payload"].to_pylist(),
+                                    tbl["media_type"].to_pylist()):
+            if mt != "video":
+                continue
+            step = max(1, len(payload) // 4)
+            for fi in range(4):
+                rows.append((mid, fi, payload[fi * step:(fi + 1) * step]))
+        return rows
+
+    for tbl in (t, t.slice(7, 6).combine_chunks()):
+        got = fs(tbl)
+        want = reference(tbl)
+        assert list(zip(got["media_id"].to_pylist(),
+                        got["frame_no"].to_pylist(),
+                        got["frame"].to_pylist())) == want
+    # short payload (len < n_frames → step 1, tail frames clamp to empty)
+    tiny = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "media_type": pa.array(["video"]),
+        "payload": pa.array([b"ab"], pa.binary()),
+    })
+    got = fs(tiny)
+    assert got["frame"].to_pylist() == [b"a", b"b", b"", b""]
+    # empty / no-video batches keep the declared schema
+    assert fs(t.slice(0, 0).combine_chunks()).num_rows == 0
+    novid = t.filter(pa.compute.not_equal(t["media_type"], "video"))
+    assert fs(novid.combine_chunks()).num_rows == 0
+
+
 def test_verify_scale_path_matches_broadcast_path():
     """pairs_broadcast_limit=0 forces the join-based verify plan; outputs
     must equal the broadcast fast path exactly on all three families."""
