@@ -489,11 +489,25 @@ def topk_sources(sf_dir: str):
     return agg.top_k(counts, "cnt", 5, tiebreak="source")
 
 
-@q("sample")  # rows-only: seeded sampling has no SQL oracle
+@q("sample", """
+SELECT CAST(count(*) AS BIGINT) AS n_source,
+       CAST(1 AS BIGINT) AS frac_ok
+FROM lineitem
+""")
 def sample(sf_dir: str):
-    """O4 seeded fraction sample (determinism asserted in tests)."""
-    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]
-                 ).random_sample(0.1, seed=42)
+    """O4 seeded fraction sample, oracled with the exactness-bound pattern
+    (r4 VERDICT #2; the seeded Bernoulli draw is not SQL-reproducible):
+    the source count is exact, and the sample size must sit within 5σ of
+    p·n (σ = √(n·p·(1−p))) — a sampler that drops blocks, double-reads,
+    or ignores p flips frac_ok. The sampled ROWS stay covered by the
+    determinism pytest; both counts here come from distributed count()."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    n = ds.count()
+    n_s = ds.random_sample(0.1, seed=42).count()
+    sigma = float(np.sqrt(max(n, 1) * 0.1 * 0.9))
+    ok = int(abs(n_s - 0.1 * n) <= 5 * sigma + 1)
+    return pa.table({"n_source": pa.array([n], pa.int64()),
+                     "frac_ok": pa.array([ok], pa.int64())})
 
 
 @q("union_all", """
@@ -752,11 +766,47 @@ def lang_id(sf_dir: str):
         lang_id_batch, batch_format="pyarrow")
 
 
-@q("fingerprint")  # rows-only: custom 64-bit rolling fingerprint
+@q("fingerprint", f"""
+SELECT doc_id, CAST(1 AS BIGINT) AS fp_match
+FROM documents WHERE doc_id % {_PLANT_STRIDE} = 0
+""")
 def fingerprint(sf_dir: str):
+    """Order-sensitive rolling-hash document fingerprint, oracled via the
+    planted-copy invariant (r4 VERDICT #2): an identical planted text MUST
+    fingerprint identically wherever it lands (different block, different
+    worker), so joining each planted copy's fingerprint back onto its
+    original's (thin 2-column sides through equi_join's plan selection)
+    and comparing is an exact, SQL-statable determinism check — a
+    process-dependent hash or offset-sensitive kernel bug flips fp_match.
+    The raw per-doc fingerprints stay covered by the determinism pytest."""
+    from ..functions.join import equi_join
     from ..functions.text import fingerprint_batch
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fp = _plant_dups(ds, "doc_id", ["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow")
+
+    def orig_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        t = b.filter(pa.array((ids < _PLANT_OFF)
+                              & (ids % _PLANT_STRIDE == 0)))
+        return pa.table({"doc_id": t["doc_id"], "fp_o": t["fingerprint"]})
+
+    def copy_side(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["doc_id"], _PLANT_OFF))
+        return pa.table({"_k": pc.subtract(t["doc_id"], _PLANT_OFF),
+                         "fp_c": t["fingerprint"]})
+
+    j = equi_join(fp.map_batches(orig_side, batch_format="pyarrow"),
+                  fp.map_batches(copy_side, batch_format="pyarrow"),
+                  left_on="doc_id", right_on="_k", how="inner")
+
+    def report(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "fp_match": pc.cast(pc.equal(b["fp_o"], b["fp_c"]), pa.int64())})
+
+    return j.map_batches(report, batch_format="pyarrow")
 
 
 # ===========================================================================
@@ -764,11 +814,25 @@ def fingerprint(sf_dir: str):
 # ===========================================================================
 
 
-@q("dedup_minhash")  # rows-only: LSH banding has no SQL oracle
+@q("dedup_minhash", f"""
+SELECT doc_id AS a, doc_id + {_PLANT_OFF} AS b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM documents WHERE doc_id % {_PLANT_STRIDE} = 0
+""")
 def dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs, oracled via planted EXACT copies
+    (r4 VERDICT #2, same pattern as dedup_simhash): identical text ⇒
+    identical 64-perm signature ⇒ the pair shares every one of the 16
+    band buckets — deterministic recall, no probability argument — and
+    the exact-Jaccard verify computes intersection == union ⇒ exactly
+    1.0 (integer ratio, bit-stable vs SQL's literal). The full pipeline
+    (signatures, band groupby, pair dedup, distributed verify) runs over
+    the whole planted corpus; the report keeps the SQL-derivable planted
+    pairs (b − a = offset, collision-free per _plant_dups)."""
     from ..functions.dedup import minhash_dedup_pairs
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_dedup_pairs(ds, threshold=0.5)
+    corpus = _plant_dups(ds, "doc_id", ["doc_id", "text"])
+    out = minhash_dedup_pairs(corpus, threshold=0.5)
+    return out.filter(pc.equal(pc.subtract(out["b"], out["a"]), _PLANT_OFF))
 
 
 @q("dedup_near_apply", f"""
@@ -1494,13 +1558,36 @@ def pack_sequences_q(sf_dir: str):
                      "bins_ok": pa.array([bins_ok], pa.int64())})
 
 
-@q("train_split")  # rows-only: siphash-based split not SQL-reproducible
+@q("train_split", """
+SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(1 AS BIGINT) AS val_ok,
+       CAST(1 AS BIGINT) AS test_ok
+FROM documents
+""")
 def train_split(sf_dir: str):
-    """Deterministic stratified split counts over the bridge corpus."""
+    """Deterministic stratified split over the bridge corpus, oracled with
+    the exactness-bound pattern (r4 VERDICT #2; the split hash itself is
+    not SQL-reproducible): the three split counts must CONSERVE the input
+    exactly (n_seqs — a dropped or double-assigned row breaks it), and the
+    val/test fractions must sit within 6σ of their 5% targets under the
+    salted-hash uniformity the split promises (σ = √(n·p·(1−p)); a
+    skewed or broken hash flips the flag). Counts stay distributed
+    (group_count partials); only the ≤3-row summary reaches the driver."""
     from ..functions.packing import stratified_split
 
     ds = stratified_split(_seq_ds(sf_dir), val_frac=0.05, test_frac=0.05)
-    return agg.group_count(ds, ["split"], alias="cnt")
+    cnt = _collect_table(
+        agg.group_count(ds, ["split"], alias="cnt"),
+        pa.table({"split": pa.array([], pa.string()),
+                  "cnt": pa.array([], pa.int64())}))
+    by = dict(zip(cnt["split"].to_pylist(), cnt["cnt"].to_pylist()))
+    n = sum(by.values())
+    sigma = float(np.sqrt(max(n, 1) * 0.05 * 0.95))
+    val_ok = int(abs(by.get("val", 0) - 0.05 * n) <= 6 * sigma + 1)
+    test_ok = int(abs(by.get("test", 0) - 0.05 * n) <= 6 * sigma + 1)
+    return pa.table({"n_seqs": pa.array([n], pa.int64()),
+                     "val_ok": pa.array([val_ok], pa.int64()),
+                     "test_ok": pa.array([test_ok], pa.int64())})
 
 
 @q("semi_orders_bloom", """
@@ -4782,12 +4869,13 @@ _DRIVER_PRIORITY = [
     # hand-listed); slots 48-50 are this round's changed
     # implementations (dedup_near_apply: planted-corpus flow;
     # knn_multi: new integer-L2 exact kernel; pack_sequences: new
-    # conservation-report output). The other 4 newly-oracled entries
-    # (dedup_simhash, dedup_embed, approx_users, shuffle_corpus)
-    # share the same plant/collect machinery verified by these three
-    # and are green on the identical local DuckDB gate at
-    # sf0.001/0.01/0.1; all previously-green entries remain covered
-    # by the per-round local full-registry gate.
+    # conservation-report output). The other 8 newly-oracled entries
+    # (dedup_simhash, dedup_embed, approx_users, shuffle_corpus,
+    # dedup_minhash, fingerprint, train_split, sample) share the same
+    # plant/collect/bound machinery verified by these three and are
+    # green on the identical local DuckDB gate at sf0.001/0.01/0.1;
+    # all previously-green entries remain covered by the per-round
+    # local full-registry gate.
     # -- never driver-verified (r1-r4):
     "llm_curate_exact", "case_funcs", "union_distinct_keys",
     "region_nation_cross", "tumbling_15min", "cust_orders_left",
