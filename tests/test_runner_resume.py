@@ -252,3 +252,71 @@ def test_torn_manifest_line_recovers(corpus, tmp_path):
     assert s["sink_rows"] == N_ROWS
     pids = json_lines(mpath)
     assert sorted(set(pids)) == sorted(range(s["partitions_total"]))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("GRAFT_SLOW") != "1",
+                    reason="bench-scale kill test; set GRAFT_SLOW=1 "
+                           "(r4 VERDICT #6 — recorded run in "
+                           "BENCH/kill_resume_bench_r5.json)")
+def test_kill_and_resume_bench_scale(tmp_path):
+    """SIGKILL at ~50% of manifest lines on a 1M-row corpus via the real
+    CLI (own process group), resume, and require every sink parquet file
+    and aggregate file to be sha256-IDENTICAL to an uninterrupted run —
+    the bench-scale variant of test_kill_and_resume (full 4M-row record
+    lives in BENCH/kill_resume_bench_r5.json)."""
+    import hashlib
+
+    corpus = str(tmp_path / "corpus")
+    ref = str(tmp_path / "ref")
+    killed = str(tmp_path / "killed")
+    subprocess.run([sys.executable, "-m", "blog_parser_ray.run", "--synth",
+                    "1000000", "--output", corpus, "--seed", "7",
+                    "--cpus", "8"], check=True, capture_output=True,
+                   cwd="/root/repo")
+
+    def cli(out, *extra):
+        return [sys.executable, "-m", "blog_parser_ray.run", "--input",
+                corpus, "--output", out, "--cpus", "8",
+                "--partition-rows", "50000", *extra]
+
+    r = subprocess.run(cli(ref), check=True, capture_output=True, text=True,
+                       cwd="/root/repo")
+    total = json.loads(r.stdout.strip().splitlines()[-1])["partitions_total"]
+
+    proc = subprocess.Popen(cli(killed), stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL, cwd="/root/repo",
+                            start_new_session=True)
+    manifest = os.path.join(killed, "_manifest", "manifest.jsonl")
+    deadline = time.time() + 300
+    hit = False
+    while time.time() < deadline and proc.poll() is None:
+        n = 0
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                n = sum(1 for _ in f)
+        if n >= total // 2:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            hit = True
+            break
+        time.sleep(0.05)
+    proc.wait(timeout=120)
+    assert hit, "run finished before the kill fired — corpus too small"
+    time.sleep(3)
+    subprocess.run(cli(killed, "--resume"), check=True, capture_output=True,
+                   cwd="/root/repo")
+
+    def hashes(out):
+        d = {}
+        for sub in ("sinks", "_aggregates"):
+            base = os.path.join(out, sub)
+            for root, _dd, files in os.walk(base):
+                for f in sorted(files):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        d[sub + "/" + os.path.relpath(p, base)] = (
+                            hashlib.sha256(fh.read()).hexdigest())
+        return d
+
+    h_ref, h_kill = hashes(ref), hashes(killed)
+    assert h_ref == h_kill
