@@ -1897,12 +1897,20 @@ def dedup_incremental(new_ds: rd.Dataset, seen_ds: rd.Dataset,
 
     survivor_keys = (both.groupby("_apid")
                      .map_groups(arrow_out(anti), batch_format="pandas"))
+
+    def as_skey(b: pa.Table) -> pa.Table:
+        # the pandas round-trip types the key column PER BLOCK: the union
+        # carries null keys on seen rows, so pandas may hand groups back as
+        # float64 (NaN-promoted) or int64 depending on block layout — and
+        # mixed dtypes across blocks break the downstream concat ("_skey
+        # has incompatible types: double vs int64", a flaky layout-
+        # dependent failure). Pin the declared key type explicitly.
+        return pa.table({"_skey": pc.cast(b[key_col], key_type)})
+
     from .join import equi_join
     joined = equi_join(
         fresh,
-        survivor_keys.map_batches(
-            lambda b: b.rename_columns(["_skey"]),
-            batch_format="pyarrow"),
+        survivor_keys.map_batches(as_skey, batch_format="pyarrow"),
         left_on=key_col, right_on="_skey", how="inner")
     cols = new_ds.schema().names
     return joined.map_batches(lambda b: b.select(cols),
@@ -1970,8 +1978,19 @@ def _anti_filter_keys(ds: rd.Dataset, drop_keys: rd.Dataset,
         keep = g[g["_side"] == 0]
         return keep[~keep[key_col].isin(drops)][cols]
 
-    return (both.groupby("_kpid")
-            .map_groups(arrow_out(anti), batch_format="pandas"))
+    out = (both.groupby("_kpid")
+           .map_groups(arrow_out(anti), batch_format="pandas"))
+
+    def retype(b: pa.Table) -> pa.Table:
+        # the union's side-1 rows null-fill the non-key columns, so the
+        # pandas group round-trip may NaN-promote integer columns in SOME
+        # groups (block-layout-dependent) — pin every column back to the
+        # declared schema so downstream concat/joins never see mixed
+        # double/int64 blocks (same flake class as dedup_incremental's
+        # _skey fix)
+        return pa.table({c: pc.cast(b[c], col_types[c]) for c in cols})
+
+    return out.map_batches(retype, batch_format="pyarrow")
 
 
 def minhash_dedup_incremental(new_ds: rd.Dataset, seen_ds: rd.Dataset,
