@@ -284,9 +284,25 @@ def enrich_docs(sf_dir: str):
                  "meta_priority"]), batch_format="pyarrow"))
 
 
-@q("explode_sections")  # rows-only: token-list semantics aren't SQL-friendly
+@q("explode_sections", """
+SELECT source || '/2024-01-'
+         || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         || '/' || CAST(doc_id AS VARCHAR) AS doc_id,
+       source,
+       CAST(0 AS INTEGER) AS sec_no,
+       CAST(length(text) - length(replace(text, ' ', '')) + 3 AS INTEGER)
+         AS sec_len
+FROM documents
+""")
 def explode_sections_q(sf_dir: str):
-    """P6: split sequences at SEC delimiters (bridge corpus → 1 child/row)."""
+    """P6: split sequences at SEC delimiters. The bridge corpus's
+    tokenizer emits BOS + words + EOS with no SEC tokens, so every
+    sequence explodes to exactly ONE child whose sec_len is the full
+    token count (words + BOS + EOS) — fully SQL-derivable, making the
+    conservation contract (children partition the parent) hash-checkable
+    here; the multi-section splitting itself is pinned by the
+    conservation pytest over SEC-bearing synth corpora
+    (tests/test_parse.py)."""
     return (_seq_ds(sf_dir)
             .map_batches(explode_sections, batch_format="pyarrow")
             .drop_columns(["sec_tokens"]))
@@ -1253,9 +1269,25 @@ def rollup_counts(sf_dir: str):
                             [["l_returnflag"]])
 
 
-@q("decode_preview")  # rows-only: vocab decode, no SQL equivalent
+@q("decode_preview", """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents)
+SELECT source || '/2024-01-'
+         || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         || '/' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE WHEN len(ws) <= 6
+            THEN '<bos> ' || array_to_string(ws, ' ') || ' <eos>'
+            ELSE '<bos> ' || array_to_string(list_slice(ws, 1, 7), ' ')
+       END AS preview
+FROM w
+""")
 def decode_preview(sf_dir: str):
-    """P8/ST4: first-8-token preview decoded via the Vocab actor pool."""
+    """P8/ST4: first-8-token preview decoded via the Vocab actor pool.
+    Exactly SQL-derivable on the bridge corpus: tokens are
+    BOS + vocab[word] + EOS and decode inverts the same vocab, so the
+    8-token preview is '<bos>' followed by the first 7 words (plus
+    '<eos>' when the document is short enough for it to fit) — a full
+    round-trip check of tokenize → Vocab-decode through the actor pool."""
     from ..stages.vocab import Vocab
 
     return (_seq_ds(sf_dir)
@@ -1897,29 +1929,60 @@ def orders_edge_values(sf_dir: str):
         batch_format="pyarrow")
 
 
-@q("dedup_components")  # rows-only: connected components, no SQL equivalent
+@q("dedup_components", f"""
+SELECT doc_id + {_PLANT_OFF} AS node, CAST(1 AS BIGINT) AS same_label
+FROM documents WHERE doc_id % {_PLANT_STRIDE} = 0
+""")
 def dedup_components(sf_dir: str):
     """Distributed union-find surfaced directly: MinHash near-dup pairs →
     hash-partitioned min-label propagation (functions/dedup.py
     pair_components) → (node, label=component min). Forces the distributed
-    path regardless of pair count so the driver gate exercises it."""
-    import ray.data as rd
+    path regardless of pair count so the driver gate exercises it.
 
-    from ..functions.dedup import minhash_dedup_pairs_ds, pair_components
-
-    from ..functions.dedup import _id_type_of
+    Oracled via the planted-copy connectivity invariant: every 17th doc
+    gets an exact copy planted, so (orig, copy) is a verified pair and the
+    two nodes MUST converge to the same component label — an exact,
+    SQL-statable property that holds no matter how the natural near-dup
+    clusters arrange themselves. The report joins each planted copy's
+    label onto its original's (thin label-table join) and flags equality;
+    a propagation bug (missed round, wrong min, broken pointer jump)
+    leaves a pair split and flips same_label."""
+    from ..functions.dedup import _id_type_of, minhash_dedup_pairs_ds, \
+        pair_components
+    from ..functions.join import equi_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs_ds = minhash_dedup_pairs_ds(ds, threshold=0.5).materialize()
+    corpus = _plant_dups(ds, "doc_id", ["doc_id", "text"])
+    pairs_ds = minhash_dedup_pairs_ds(corpus, threshold=0.5).materialize()
     if pairs_ds.count() == 0:
-        id_type = _id_type_of(ds, "doc_id")
-        return pa.table({"node": pa.array([], id_type),
-                         "label": pa.array([], id_type)})
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "same_label": pa.array([], pa.int64())})
     comp = pair_components(
         pairs_ds.map_batches(lambda b: b.select(["a", "b"]),
-                             batch_format="pyarrow"))
-    from ..functions.util import collect_table
-    return collect_table(comp).sort_by([("node", "ascending")])
+                             batch_format="pyarrow")).materialize()
+
+    def orig_side(b: pa.Table) -> pa.Table:
+        ids = b["node"].to_numpy()
+        t = b.filter(pa.array((ids < _PLANT_OFF)
+                              & (ids % _PLANT_STRIDE == 0)))
+        return pa.table({"node": t["node"], "lab_o": t["label"]})
+
+    def copy_side(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["node"], _PLANT_OFF))
+        return pa.table({"_k": pc.subtract(t["node"], _PLANT_OFF),
+                         "lab_c": t["label"]})
+
+    j = equi_join(comp.map_batches(orig_side, batch_format="pyarrow"),
+                  comp.map_batches(copy_side, batch_format="pyarrow"),
+                  left_on="node", right_on="_k", how="inner")
+
+    def report(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc.add(b["node"], _PLANT_OFF),
+            "same_label": pc.cast(pc.equal(b["lab_o"], b["lab_c"]),
+                                  pa.int64())})
+
+    return j.map_batches(report, batch_format="pyarrow")
 
 
 @q("mixture_sample", """
