@@ -77,6 +77,14 @@ def _plant_dups(ds: rd.Dataset, id_col: str, cols: list[str],
     original, no shuffle, no driver materialization."""
     def plant(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy()
+        if len(ids) and int(ids.max()) >= _PLANT_OFF:
+            # the collision-free argument (no natural pair differs by
+            # exactly the offset; planted ids are disjoint) requires every
+            # natural id below the offset — fail loudly if a bigger SF
+            # ever violates it instead of producing a silently-wrong oracle
+            raise ValueError(
+                f"{id_col} max {int(ids.max())} >= plant offset "
+                f"{_PLANT_OFF}; raise _PLANT_OFF")
         t = b.filter(pa.array(ids % _PLANT_STRIDE == 0))
         arrays = {}
         for c in cols:
