@@ -142,8 +142,9 @@ def brute_force_topk_multi_l2int(ds: rd.Dataset, queries_int: np.ndarray,
     (query_id, rnk 1-based, id_col, dist), all int64.
     """
     Q = np.ascontiguousarray(queries_int, dtype=np.int64)
-    qn = (Q * Q).sum(axis=1)
-    q_ref = ray.put(Q)
+    # broadcast the query matrix AND its squared norms once (each task
+    # would otherwise recompute the norms per batch)
+    q_ref = ray.put((Q, (Q * Q).sum(axis=1)))
     qid_arr = np.asarray(query_ids, dtype=np.int64)
 
     empty = pa.table({"query_id": pa.array([], pa.int64()),
@@ -151,20 +152,22 @@ def brute_force_topk_multi_l2int(ds: rd.Dataset, queries_int: np.ndarray,
                       "dist": pa.array([], pa.int64())})
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        Qm = ray.get(q_ref)
+        Qm, qn = ray.get(q_ref)
         A = quantize_embedding(_embedding_matrix(batch, col), scale)
         if A.shape[0] == 0:
             return empty
         an = (A * A).sum(axis=1)
-        dists = an[:, None] - 2 * (A @ Qm.T) + (Qm * Qm).sum(axis=1)[None, :]
+        dists = an[:, None] - 2 * (A @ Qm.T) + qn[None, :]
         ids = batch[id_col].to_numpy()
         qcols, rows = [], []
         for qi in range(dists.shape[1]):
-            # ascending distance: reuse the deterministic tiebreak kernel
-            # on the negated column (smaller dist == larger -dist)
-            top = _topk_rows(-dists[:, qi].astype(np.float64), ids, k)
-            qcols.append(np.full(len(top), qi, dtype=np.int64))
-            rows.append(top)
+            # INTEGER-exact local top-k (a float64 detour would lose
+            # exactness above 2^53 and could drop a boundary row under
+            # ties — the bit-exact-vs-SQL contract forbids that): one
+            # lexsort of (dist, id) per query, ids ascending on ties
+            order = np.lexsort((ids, dists[:, qi]))[:k]
+            qcols.append(np.full(len(order), qi, dtype=np.int64))
+            rows.append(order)
         qcol = np.concatenate(qcols)
         row = np.concatenate(rows)
         return pa.table({"query_id": pa.array(qcol),

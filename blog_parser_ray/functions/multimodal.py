@@ -158,6 +158,12 @@ class FrameSampler:
         pay = vids["payload"]
         if isinstance(pay, pa.ChunkedArray):
             pay = pay.combine_chunks()
+        if pay.null_count:
+            # match Decoder's null-payload discipline: surface the bad row
+            # instead of fabricating empty frames from whatever bytes the
+            # null slot spans (the pre-vectorized path also failed loudly)
+            raise ValueError("FrameSampler: null video payloads in batch; "
+                             "filter or decode-gate them upstream")
         # same zero-copy discipline as Decoder.__call__: payload bytes are
         # read as offset/data buffer views, never materialized as Python
         # bytes objects; the only copy is the single vectorized gather that
@@ -185,10 +191,19 @@ class FrameSampler:
         total = int(cum[-1])
         gather = (np.arange(total, dtype=np.int64)
                   + np.repeat(s - cum[:-1], flens))
-        frame_arr = pa.Array.from_buffers(
-            pa.binary(), nv * k,
-            [None, pa.py_buffer(cum.astype(np.int32)),
-             pa.py_buffer(data[gather])])
+        # offset width follows the actual byte total: >2 GiB of frame
+        # bytes needs large_binary/int64 offsets (int32 would silently
+        # wrap on large_binary inputs)
+        if total < 2 ** 31:
+            frame_arr = pa.Array.from_buffers(
+                pa.binary(), nv * k,
+                [None, pa.py_buffer(cum.astype(np.int32)),
+                 pa.py_buffer(data[gather])])
+        else:
+            frame_arr = pa.Array.from_buffers(
+                pa.large_binary(), nv * k,
+                [None, pa.py_buffer(cum.astype(np.int64)),
+                 pa.py_buffer(data[gather])])
         return pa.table({
             "media_id": pa.array(
                 np.repeat(vids["media_id"].to_numpy(), k), type=pa.int64()),

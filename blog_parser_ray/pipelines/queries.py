@@ -89,7 +89,11 @@ def _plant_dups(ds: rd.Dataset, id_col: str, cols: list[str],
         arrays = {}
         for c in cols:
             if c == id_col:
-                arrays[c] = pc.add(t[c], _PLANT_OFF)
+                # pin the column's own type: pc.add with a python-int
+                # scalar would promote int32 ids to int64 and misalign
+                # the positional union's schemas
+                arrays[c] = pc.cast(pc.add(t[c], _PLANT_OFF),
+                                    t.schema.field(c).type)
             elif perturb_suffix is not None and c == "text":
                 arrays[c] = pc.binary_join_element_wise(
                     t[c], perturb_suffix, " ")
@@ -105,6 +109,34 @@ def _plant_dups(ds: rd.Dataset, id_col: str, cols: list[str],
     # both sides carry the identical column list/order (union aligns blocks
     # positionally — see ray-data union gotcha)
     return base.union(dups)
+
+
+def _planted_pair_join(ds: rd.Dataset, id_col: str,
+                       val_col: str) -> rd.Dataset:
+    """Join each planted copy's ``val_col`` back onto its original's over a
+    planted-corpus-derived (id_col, val_col) Dataset → (id_col = orig id,
+    _vo, _vc) — the shared machinery of the planted determinism /
+    connectivity oracles (fingerprint, dedup_components). ``ds`` is
+    materialized ONCE here because both join sides consume it (Ray Data
+    re-executes unmaterialized lineage per consumer)."""
+    from ..functions.join import equi_join
+
+    ds = ds.materialize()
+
+    def orig_side(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        t = b.filter(pa.array((ids < _PLANT_OFF)
+                              & (ids % _PLANT_STRIDE == 0)))
+        return pa.table({id_col: t[id_col], "_vo": t[val_col]})
+
+    def copy_side(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b[id_col], _PLANT_OFF))
+        return pa.table({"_k": pc.subtract(t[id_col], _PLANT_OFF),
+                         "_vc": t[val_col]})
+
+    return equi_join(ds.map_batches(orig_side, batch_format="pyarrow"),
+                     ds.map_batches(copy_side, batch_format="pyarrow"),
+                     left_on=id_col, right_on="_k", how="inner")
 
 
 def _planted_removed_report(surviving: rd.Dataset, src: rd.Dataset,
@@ -833,32 +865,17 @@ def fingerprint(sf_dir: str):
     and comparing is an exact, SQL-statable determinism check — a
     process-dependent hash or offset-sensitive kernel bug flips fp_match.
     The raw per-doc fingerprints stay covered by the determinism pytest."""
-    from ..functions.join import equi_join
     from ..functions.text import fingerprint_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     fp = _plant_dups(ds, "doc_id", ["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow")
-
-    def orig_side(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy()
-        t = b.filter(pa.array((ids < _PLANT_OFF)
-                              & (ids % _PLANT_STRIDE == 0)))
-        return pa.table({"doc_id": t["doc_id"], "fp_o": t["fingerprint"]})
-
-    def copy_side(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.greater_equal(b["doc_id"], _PLANT_OFF))
-        return pa.table({"_k": pc.subtract(t["doc_id"], _PLANT_OFF),
-                         "fp_c": t["fingerprint"]})
-
-    j = equi_join(fp.map_batches(orig_side, batch_format="pyarrow"),
-                  fp.map_batches(copy_side, batch_format="pyarrow"),
-                  left_on="doc_id", right_on="_k", how="inner")
+    j = _planted_pair_join(fp, "doc_id", "fingerprint")
 
     def report(b: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": b["doc_id"],
-            "fp_match": pc.cast(pc.equal(b["fp_o"], b["fp_c"]), pa.int64())})
+            "fp_match": pc.cast(pc.equal(b["_vo"], b["_vc"]), pa.int64())})
 
     return j.map_batches(report, batch_format="pyarrow")
 
@@ -1955,9 +1972,7 @@ def dedup_components(sf_dir: str):
     label onto its original's (thin label-table join) and flags equality;
     a propagation bug (missed round, wrong min, broken pointer jump)
     leaves a pair split and flips same_label."""
-    from ..functions.dedup import _id_type_of, minhash_dedup_pairs_ds, \
-        pair_components
-    from ..functions.join import equi_join
+    from ..functions.dedup import minhash_dedup_pairs_ds, pair_components
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     corpus = _plant_dups(ds, "doc_id", ["doc_id", "text"])
@@ -1967,27 +1982,13 @@ def dedup_components(sf_dir: str):
                          "same_label": pa.array([], pa.int64())})
     comp = pair_components(
         pairs_ds.map_batches(lambda b: b.select(["a", "b"]),
-                             batch_format="pyarrow")).materialize()
-
-    def orig_side(b: pa.Table) -> pa.Table:
-        ids = b["node"].to_numpy()
-        t = b.filter(pa.array((ids < _PLANT_OFF)
-                              & (ids % _PLANT_STRIDE == 0)))
-        return pa.table({"node": t["node"], "lab_o": t["label"]})
-
-    def copy_side(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.greater_equal(b["node"], _PLANT_OFF))
-        return pa.table({"_k": pc.subtract(t["node"], _PLANT_OFF),
-                         "lab_c": t["label"]})
-
-    j = equi_join(comp.map_batches(orig_side, batch_format="pyarrow"),
-                  comp.map_batches(copy_side, batch_format="pyarrow"),
-                  left_on="node", right_on="_k", how="inner")
+                             batch_format="pyarrow"))
+    j = _planted_pair_join(comp, "node", "label")
 
     def report(b: pa.Table) -> pa.Table:
         return pa.table({
             "node": pc.add(b["node"], _PLANT_OFF),
-            "same_label": pc.cast(pc.equal(b["lab_o"], b["lab_c"]),
+            "same_label": pc.cast(pc.equal(b["_vo"], b["_vc"]),
                                   pa.int64())})
 
     return j.map_batches(report, batch_format="pyarrow")

@@ -9,11 +9,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_queries_md_matches_registry():
-    sys.path.insert(0, os.path.join(REPO, "tools"))
+    tools_dir = os.path.join(REPO, "tools")
+    sys.path.insert(0, tools_dir)
     try:
         import gen_queries_md
     finally:
-        sys.path.pop(0)
+        # remove by VALUE: importing gen_queries_md prepends the repo root
+        # itself (its own sys.path.insert), so pop(0) would strip the
+        # wrong entry and leak tools/ on sys.path
+        sys.path.remove(tools_dir)
     with open(os.path.join(REPO, "docs", "QUERIES.md")) as f:
         committed = f.read()
     assert committed == gen_queries_md.render(), (
