@@ -583,6 +583,16 @@ def test_frame_sampler_zero_copy_and_sliced_batches():
     assert fs(t.slice(0, 0).combine_chunks()).num_rows == 0
     novid = t.filter(pa.compute.not_equal(t["media_type"], "video"))
     assert fs(novid.combine_chunks()).num_rows == 0
+    # null video payloads fail loudly (Decoder's null discipline), never
+    # fabricate empty frames from whatever bytes the null slot spans
+    withnull = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "media_type": pa.array(["video", "video"]),
+        "payload": pa.array([b"abcdefgh", None], pa.binary()),
+    })
+    import pytest
+    with pytest.raises(ValueError, match="null video payload"):
+        fs(withnull)
 
 
 def test_verify_scale_path_matches_broadcast_path():
