@@ -907,7 +907,9 @@ def _collect_pairs_sorted(ds: rd.Dataset, empty: pa.Table) -> pa.Table:
 
 def bucket_pair_expand(keyed: rd.Dataset, *, key_col: str, id_col: str,
                        n_parts: int = 64, max_bucket: int | None = None,
-                       warn_bucket: int = 65536) -> rd.Dataset:
+                       warn_bucket: int = 65536,
+                       size_col: str | None = None,
+                       size_ratio_e4: int | None = None) -> rd.Dataset:
     """(key, id) rows → globally-unique unordered candidate pairs (a < b)
     of ids sharing a key — the bucket-expansion kernel shared by the
     fuzzy join (key = deletion-variant hash) and the exact Jaccard join
@@ -924,7 +926,16 @@ def bucket_pair_expand(keyed: rd.Dataset, *, key_col: str, id_col: str,
 
     (``_lsh_candidate_pairs`` keeps its own fused variant of this kernel:
     its input is (band_hash, band) rows needing key-fusion and its
-    truncation policy is load-bearing for LSH bucket blowups.)"""
+    truncation policy is load-bearing for LSH bucket blowups.)
+
+    ``size_col``/``size_ratio_e4``: the AllPairs LENGTH FILTER. When the
+    keyed rows carry each id's set size, a pair can only reach Jaccard
+    τ = size_ratio_e4/10⁴ if ``10⁴·min(mₐ,m_b) ≥ size_ratio_e4·max`` (the
+    intersection is bounded by the smaller set, the union by the larger),
+    so such pairs are dropped HERE — one integer compare per pair —
+    before the expensive payload attach + verify (measured 35% of
+    candidates killed at sf0.1; grows with size variance). Exactness is
+    preserved: the inequality is implied by the verify threshold."""
     import logging
 
     import pandas as pd
@@ -947,6 +958,8 @@ def bucket_pair_expand(keyed: rd.Dataset, *, key_col: str, id_col: str,
              .sort_values([key_col, id_col], kind="mergesort"))
         kk = g[key_col].to_numpy()
         d = g[id_col].to_numpy()
+        msz = (g[size_col].to_numpy().astype(np.int64)
+               if size_col is not None else None)
         starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
         sizes = np.diff(np.r_[starts, len(kk)])
         a_out, b_out = [], []
@@ -965,6 +978,12 @@ def bucket_pair_expand(keyed: rd.Dataset, *, key_col: str, id_col: str,
                     m * (m - 1) // 2)
             ids = d[starts[s]:starts[s] + m]
             ai, bj = np.triu_indices(m, k=1)
+            if msz is not None and size_ratio_e4 is not None:
+                sa = msz[starts[s]:starts[s] + m]
+                lo = np.minimum(sa[ai], sa[bj])
+                hi = np.maximum(sa[ai], sa[bj])
+                keep = 10000 * lo >= size_ratio_e4 * hi
+                ai, bj = ai[keep], bj[keep]
             a_out.append(ids[ai])
             b_out.append(ids[bj])
         if not a_out:
@@ -1153,10 +1172,11 @@ def jaccard_join_exact(ds: rd.Dataset, *, id_col: str = "doc_id",
                 .map_groups(arrow_out(prefix_part), batch_format="pandas"))
 
     pairs = bucket_pair_expand(
-        pref.map_batches(lambda b, ic=id_col: b.select(["sh", ic]),
+        pref.map_batches(lambda b, ic=id_col: b.select(["sh", ic, "m"]),
                          batch_format="pyarrow"),
         key_col="sh", id_col=id_col, n_parts=n_parts,
-        warn_bucket=hot_bucket_warn).materialize()
+        warn_bucket=hot_bucket_warn,
+        size_col="m", size_ratio_e4=tau_e4).materialize()
 
     id_type = _id_type_of(ds, id_col)
     # verify reuses the MATERIALIZED set lists (identity payload) — no
