@@ -112,6 +112,35 @@ def test_bucket_pair_expand_complete_and_unique():
     assert set(got_pairs) == exp
 
 
+def test_bucket_pair_expand_pair_filter_keep_if_any_collision():
+    """pair_filter prunes per COLLISION; a pair colliding in several
+    buckets must survive if ANY collision passes (the dedup unions
+    bucket outputs) — the contract the PPJoin filter's completeness
+    proof relies on."""
+    from blog_parser_ray.functions.dedup import bucket_pair_expand
+
+    # ids 1,2 share keys 10 (aux pos 5 → filtered) and 11 (pos 0 → kept);
+    # ids 3,4 share only key 12 at pos 5 → fully filtered out
+    t = pa.table({
+        "key": pa.array([10, 10, 11, 11, 12, 12], type=pa.int64()),
+        "id": pa.array([1, 2, 1, 2, 3, 4], type=pa.int64()),
+        "pos": pa.array([5, 5, 0, 0, 5, 5], type=pa.int64()),
+    })
+
+    def keep_pos0(seg, ai, bj):
+        return (seg["pos"][ai] == 0) & (seg["pos"][bj] == 0)
+
+    got = bucket_pair_expand(rd.from_arrow(t), key_col="key", id_col="id",
+                             aux_cols=["pos"],
+                             pair_filter=keep_pos0).to_pandas()
+    assert sorted(map(tuple, got[["a", "b"]].to_numpy())) == [(1, 2)]
+    # no filter → both pairs, each exactly once
+    got2 = bucket_pair_expand(rd.from_arrow(t.select(["key", "id"])),
+                              key_col="key", id_col="id").to_pandas()
+    assert sorted(map(tuple, got2[["a", "b"]].to_numpy())) == [(1, 2),
+                                                               (3, 4)]
+
+
 def test_bfs_levels_matches_python_bfs():
     from collections import deque
 
