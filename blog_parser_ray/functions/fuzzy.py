@@ -133,17 +133,28 @@ def edit_distance_pairs(names: rd.Dataset, *, name_col: str = "name",
                 nms.append(nm)
                 vs.append(v)
         key = stable_hash_strings(pa.array(vs, type=pa.string()))
+        names_arr = pa.array(nms, type=pa.string())
         return pa.table({
             "key": pa.array(key.astype(np.int64)),
-            "name": pa.array(nms, type=pa.string()),
+            "name": names_arr,
+            # byte length (the DP and DuckDB's levenshtein both score
+            # bytes) for the candidate length filter below
+            "blen": pc.binary_length(names_arr),
         })
 
     keyed = names.map_batches(variants, batch_format="pyarrow")
 
     from .dedup import bucket_pair_expand
 
+    def len_filter(seg, ai, bj):
+        # lev(a,b) >= |len(a) - len(b)|, so pairs whose byte lengths
+        # differ by more than k can never verify — drop them before the
+        # O(len_a × len_b) DP (one integer compare per candidate)
+        return np.abs(seg["blen"][ai] - seg["blen"][bj]) <= k
+
     cand = bucket_pair_expand(keyed, key_col="key", id_col="name",
-                              n_parts=n_parts, max_bucket=max_bucket)
+                              n_parts=n_parts, max_bucket=max_bucket,
+                              aux_cols=["blen"], pair_filter=len_filter)
 
     def verify(batch: pa.Table) -> pa.Table:
         dist = levenshtein_vec(batch["a"].to_pylist(),
