@@ -1220,15 +1220,28 @@ def jaccard_join_exact(ds: rd.Dataset, *, id_col: str = "doc_id",
         verify_fn=_jaccard_exact_count_fn(tau_e4, id_type))
 
 
+def minhash_band_rows_ds(ds: rd.Dataset, num_perm: int = 64,
+                         bands: int = 16, k: int = 3,
+                         text_col: str = "text") -> rd.Dataset:
+    """The corpus's MinHash BAND ROWS (doc_id, band, band_hash) as a
+    Dataset — the persistable LSH index of an incremental-dedup deployment:
+    write these once per corpus snapshot (thin: ``bands`` rows × ~24 B per
+    doc) and hand them to ``minhash_dedup_incremental(seen_band_rows=...)``
+    so each daily increment skips the full seen-corpus re-scan + re-hash.
+    Deterministic (seeded permutations), so rows computed in different
+    jobs/cluster sizes are identical."""
+    assert num_perm % bands == 0
+    return ds.map_batches(minhash_text_band_rows,
+                          fn_kwargs=dict(num_perm=num_perm, bands=bands,
+                                         k=k, text_col=text_col),
+                          batch_format="pyarrow")
+
+
 def minhash_candidates(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                        k: int = 3, text_col: str = "text") -> rd.Dataset:
     """LSH bucket groupby → Dataset of unique candidate pairs (a < b)."""
-    assert num_perm % bands == 0
-    sig = ds.map_batches(minhash_text_band_rows,
-                         fn_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
-                                        text_col=text_col),
-                         batch_format="pyarrow")
-    return _lsh_candidate_pairs(sig)
+    return _lsh_candidate_pairs(
+        minhash_band_rows_ds(ds, num_perm, bands, k, text_col))
 
 
 def _shingle_set_fn(shingle_of_batch, id_col: str = "doc_id"):
@@ -2049,31 +2062,58 @@ def minhash_dedup_incremental(new_ds: rd.Dataset, seen_ds: rd.Dataset,
                               threshold: float = 0.7, num_perm: int = 64,
                               bands: int = 16, k: int = 3,
                               text_col: str = "text",
-                              key_col: str = "doc_id") -> rd.Dataset:
+                              key_col: str = "doc_id",
+                              seen_band_rows: rd.Dataset | None = None
+                              ) -> rd.Dataset:
     """Incremental NEAR-dup dedup: rows of the NEW shard whose verified
     word-shingle Jaccard vs ANY seen-corpus document is ≥ threshold are
     dropped (new-vs-new near-dups are left to the caller — compose with
     ``apply_pair_dedup`` when shard-internal dedup is also wanted).
 
     REQUIRES disjoint ``key_col`` spaces across the two shards (the usual
-    contract for crawl increments). Plan: one LSH pass over the UNION
-    (production would persist the seen side's band rows and skip its
-    recompute — the API boundary is the same), verified pairs as a
-    Dataset, pairs touching a seen id found by a thin semi-join of the
-    pair table against the seen-id set, and the new-side endpoints of
-    those pairs anti-filtered out of the shard (broadcast / bucketed
-    plan, ``_anti_filter_keys``). Every join input is pair- or id-sized;
-    payloads never leave the cluster."""
-    from .join import equi_join
+    contract for crawl increments). Plan: one LSH pass over the UNION,
+    verified pairs as a Dataset, pairs touching a seen id found by a thin
+    semi-join of the pair table against the seen-id set, and the new-side
+    endpoints of those pairs anti-filtered out of the shard (broadcast /
+    bucketed plan, ``_anti_filter_keys``). Every join input is pair- or
+    id-sized; payloads never leave the cluster.
 
+    ``seen_band_rows``: the persisted-index fast path for a production
+    increment loop. Pass ``minhash_band_rows_ds(seen_ds, ...)`` written
+    once per corpus snapshot (MUST use the same num_perm/bands/k — the
+    permutations are seeded, so persisted and fresh rows are identical)
+    and only the NEW shard is scanned/hashed this run; the seen corpus is
+    touched again ONLY to gather the candidate pair endpoints' texts for
+    the exact verify (a semi-filtered read, candidate-scale not
+    corpus-scale). Output is identical to the recompute path (pinned by
+    pytest)."""
     sel = [key_col, text_col]
     u = (new_ds.map_batches(lambda b: b.select(sel),
                             batch_format="pyarrow")
          .union(seen_ds.map_batches(lambda b: b.select(sel),
                                     batch_format="pyarrow")))
-    pairs = minhash_dedup_pairs_ds(u, threshold=threshold,
-                                   num_perm=num_perm, bands=bands, k=k,
-                                   text_col=text_col)
+    if seen_band_rows is None:
+        pairs = minhash_dedup_pairs_ds(u, threshold=threshold,
+                                       num_perm=num_perm, bands=bands, k=k,
+                                       text_col=text_col)
+    else:
+        band_u = (minhash_band_rows_ds(new_ds, num_perm, bands, k, text_col)
+                  .union(seen_band_rows))
+        cand = _lsh_candidate_pairs(band_u)
+        id_type = _id_type_of(new_ds, key_col)
+        empty = _empty_pairs(id_type, "jaccard")
+        if cand.count() == 0:
+            pairs = rd.from_arrow(empty)
+        else:
+            def shingles(batch: pa.Table):
+                text = batch[text_col]
+                if isinstance(text, pa.ChunkedArray):
+                    text = text.combine_chunks()
+                return text_shingle_hashes(text, k)
+
+            pairs = _verify_pairs_jaccard(
+                u, cand, shingles, threshold=threshold, id_col=key_col,
+                payload_cols=sel, empty=empty)
     return _incremental_from_pairs(new_ds, seen_ds, pairs, key_col)
 
 

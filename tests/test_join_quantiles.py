@@ -275,6 +275,17 @@ def test_minhash_dedup_incremental_drops_cross_shard_neardups():
     assert got & set(range(10)) == set(), got  # near-copies dropped
     assert set(range(10, 22)) <= got, got      # fresh + twins survive
 
+    # persisted-index fast path: precomputed seen band rows (the
+    # production increment loop) must give the IDENTICAL survivor set
+    from blog_parser_ray.functions.dedup import minhash_band_rows_ds
+    seen_bands = minhash_band_rows_ds(
+        rd.from_arrow(seen).repartition(4), k=3).materialize()
+    out2 = minhash_dedup_incremental(
+        rd.from_arrow(new).repartition(3),
+        rd.from_arrow(seen).repartition(4),
+        threshold=0.6, k=3, seen_band_rows=seen_bands).to_pandas()
+    assert set(out2["doc_id"].tolist()) == got
+
 
 def test_anti_filter_keys_both_plans():
     from blog_parser_ray.functions.dedup import _anti_filter_keys
