@@ -1220,17 +1220,27 @@ def jaccard_join_exact(ds: rd.Dataset, *, id_col: str = "doc_id",
         verify_fn=_jaccard_exact_count_fn(tau_e4, id_type))
 
 
+_BAND_COLS = ["doc_id", "band", "band_hash"]
+
+
 def minhash_band_rows_ds(ds: rd.Dataset, num_perm: int = 64,
                          bands: int = 16, k: int = 3,
-                         text_col: str = "text") -> rd.Dataset:
-    """The corpus's MinHash BAND ROWS (doc_id, band, band_hash) as a
-    Dataset — the persistable LSH index of an incremental-dedup deployment:
-    write these once per corpus snapshot (thin: ``bands`` rows × ~24 B per
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> rd.Dataset:
+    """The corpus's MinHash BAND ROWS — always the CANONICAL
+    (doc_id, band, band_hash) schema whatever the source id column — as a
+    Dataset: the persistable LSH index of an incremental-dedup deployment.
+    Write these once per corpus snapshot (thin: ``bands`` rows × ~24 B per
     doc) and hand them to ``minhash_dedup_incremental(seen_band_rows=...)``
     so each daily increment skips the full seen-corpus re-scan + re-hash.
     Deterministic (seeded permutations), so rows computed in different
     jobs/cluster sizes are identical."""
     assert num_perm % bands == 0
+    if id_col != "doc_id":
+        ds = ds.map_batches(
+            lambda b, ic=id_col, tc=text_col: pa.table(
+                {"doc_id": b[ic], tc: b[tc]}),
+            batch_format="pyarrow")
     return ds.map_batches(minhash_text_band_rows,
                           fn_kwargs=dict(num_perm=num_perm, bands=bands,
                                          k=k, text_col=text_col),
@@ -1338,10 +1348,24 @@ def minhash_dedup_pairs_ds(ds: rd.Dataset, threshold: float = 0.7,
     partitioned plan by size), and the exact Jaccard runs vectorized inside
     map_batches — nothing touches the driver.
     """
-    id_type = _id_type_of(ds, "doc_id")
-    empty = _empty_pairs(id_type, "jaccard")
     pairs = minhash_candidates(ds, num_perm, bands, k, text_col)
-    if pairs.count() == 0:
+    return _minhash_pairs_from_candidates(
+        ds, pairs, threshold=threshold, k=k, text_col=text_col,
+        id_col="doc_id", pairs_broadcast_limit=pairs_broadcast_limit)
+
+
+def _minhash_pairs_from_candidates(payload_ds: rd.Dataset,
+                                   cand: rd.Dataset, *, threshold: float,
+                                   k: int, text_col: str, id_col: str,
+                                   pairs_broadcast_limit: int =
+                                   _PAIRS_BROADCAST_LIMIT) -> rd.Dataset:
+    """Shared word-shingle exact-verify wiring for MinHash pair producers
+    (the full-corpus path AND the persisted-seen-index incremental path —
+    ONE copy so the pytest-pinned recompute/fast-path parity can't drift):
+    empty-candidate short-circuit, the shingle closure, and the
+    plan-selected ``_verify_pairs_jaccard`` call."""
+    empty = _empty_pairs(_id_type_of(payload_ds, id_col), "jaccard")
+    if cand.count() == 0:
         return rd.from_arrow(empty)
 
     def shingles(batch: pa.Table):
@@ -1350,9 +1374,9 @@ def minhash_dedup_pairs_ds(ds: rd.Dataset, threshold: float = 0.7,
             text = text.combine_chunks()
         return text_shingle_hashes(text, k)
 
-    return _verify_pairs_jaccard(ds, pairs, shingles, threshold=threshold,
-                                 id_col="doc_id",
-                                 payload_cols=["doc_id", text_col],
+    return _verify_pairs_jaccard(payload_ds, cand, shingles,
+                                 threshold=threshold, id_col=id_col,
+                                 payload_cols=[id_col, text_col],
                                  empty=empty,
                                  pairs_broadcast_limit=pairs_broadcast_limit)
 
@@ -2093,27 +2117,22 @@ def minhash_dedup_incremental(new_ds: rd.Dataset, seen_ds: rd.Dataset,
          .union(seen_ds.map_batches(lambda b: b.select(sel),
                                     batch_format="pyarrow")))
     if seen_band_rows is None:
-        pairs = minhash_dedup_pairs_ds(u, threshold=threshold,
-                                       num_perm=num_perm, bands=bands, k=k,
-                                       text_col=text_col)
-    else:
-        band_u = (minhash_band_rows_ds(new_ds, num_perm, bands, k, text_col)
-                  .union(seen_band_rows))
-        cand = _lsh_candidate_pairs(band_u)
-        id_type = _id_type_of(new_ds, key_col)
-        empty = _empty_pairs(id_type, "jaccard")
-        if cand.count() == 0:
-            pairs = rd.from_arrow(empty)
-        else:
-            def shingles(batch: pa.Table):
-                text = batch[text_col]
-                if isinstance(text, pa.ChunkedArray):
-                    text = text.combine_chunks()
-                return text_shingle_hashes(text, k)
-
-            pairs = _verify_pairs_jaccard(
-                u, cand, shingles, threshold=threshold, id_col=key_col,
-                payload_cols=sel, empty=empty)
+        # the recompute path still keys its band rows on key_col via the
+        # canonicalizing minhash_band_rows_ds below — same code both ways
+        seen_band_rows = minhash_band_rows_ds(seen_ds, num_perm, bands, k,
+                                              text_col, id_col=key_col)
+    # normalize BOTH union sides to the canonical band schema: union
+    # aligns blocks positionally, and the persisted side's intended use
+    # is a storage round trip that may reorder columns (ray-data gotcha)
+    norm = lambda d: d.map_batches(  # noqa: E731
+        lambda b: b.select(_BAND_COLS), batch_format="pyarrow")
+    band_u = norm(minhash_band_rows_ds(new_ds, num_perm, bands, k,
+                                       text_col, id_col=key_col)
+                  ).union(norm(seen_band_rows))
+    cand = _lsh_candidate_pairs(band_u)
+    pairs = _minhash_pairs_from_candidates(
+        u, cand, threshold=threshold, k=k, text_col=text_col,
+        id_col=key_col)
     return _incremental_from_pairs(new_ds, seen_ds, pairs, key_col)
 
 
