@@ -286,6 +286,19 @@ def test_minhash_dedup_incremental_drops_cross_shard_neardups():
         threshold=0.6, k=3, seen_band_rows=seen_bands).to_pandas()
     assert set(out2["doc_id"].tolist()) == got
 
+    # non-default id column + a storage round trip that REORDERS the
+    # persisted index's columns (union aligns positionally — must be
+    # normalized, not trusted)
+    new_r = rd.from_arrow(new.rename_columns(["id", "text"]))
+    seen_r = rd.from_arrow(seen.rename_columns(["id", "text"]))
+    idx = minhash_band_rows_ds(seen_r, k=3, id_col="id").map_batches(
+        lambda b: b.select(["band_hash", "band", "doc_id"]),
+        batch_format="pyarrow").materialize()
+    out3 = minhash_dedup_incremental(
+        new_r, seen_r, threshold=0.6, k=3, key_col="id",
+        seen_band_rows=idx).to_pandas()
+    assert set(out3["id"].tolist()) == got
+
 
 def test_anti_filter_keys_both_plans():
     from blog_parser_ray.functions.dedup import _anti_filter_keys
